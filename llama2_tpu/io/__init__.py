@@ -1,0 +1,3 @@
+from llama2_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+__all__ = ["load_checkpoint", "save_checkpoint"]
