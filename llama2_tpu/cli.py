@@ -1,0 +1,202 @@
+"""CLI mirroring the reference's surface (main.zig:800-934).
+
+Same flags, same defaults-from-code (temperature 1.0, top-p 0.9 clamped,
+seq-len 0 = model max, tokenizer path "tokenizer.bin", seed = wall clock),
+same hand-rolled arg loop behaviors (unknown flag → usage; missing value /
+unparseable value / duplicate checkpoint → error exit 1), same output framing,
+and the same end-of-run `{d} tokens per second` verbose report.
+
+TPU-specific extras use long-only flags so the reference surface stays clean:
+``--dtype {f32,bf16}``, ``--quant {none,int8}``, ``--prefill-chunk N``,
+``--profile DIR`` (jax.profiler trace).
+"""
+
+from __future__ import annotations
+
+import sys
+
+USAGE = """Usage:   llama2 <checkpoint> [options]
+Example: llama2 checkpoint.bin -n 256 -i "Once upon a time"
+Options:
+ -h, --help                print this help message
+ -t, --temperature <float> temperature, default 1.0 (0.0, 1]
+ -p, --top-p <float>       p value in top-p (nucleus) sampling. default 0.9, 0 || 1 = off
+ -n, --seq-len <int>       number of steps to run for, default 256. 0 = max_seq_len
+ -i, --input <string>      input text for the prompt, default ""
+ -s, --seed <int>          random seed, default to time
+ -v, --verbose             print model info and tokens/s
+ -z, --tokenizer <path>    path to the tokenizer to use, default to "tokenizer.bin"
+TPU options:
+ --dtype <f32|bf16>        compute/weight dtype, default f32 (f32 = parity mode)
+ --quant <none|int8>       weight-only group-quantized INT8 path, default none
+ --prefill-chunk <int>     prefill segment length, default whole prompt
+ --profile <dir>           capture a jax.profiler trace of the run into <dir>
+"""
+
+
+def _die(msg: str) -> "NoReturn":
+    print(f"error: {msg}", file=sys.stderr)
+    raise SystemExit(1)
+
+
+def parse_args(argv: list[str]) -> dict | None:
+    """Parse the reference's argv surface; returns None if usage was printed."""
+    if len(argv) < 1:
+        sys.stdout.write(USAGE)
+        return None
+
+    opts = {
+        "bin_path": None,
+        "input": None,
+        "temperature": 1.0,
+        "top_p": 0.9,
+        "seq_len": 0,
+        "tokenizer_path": "tokenizer.bin",
+        "seed": None,
+        "verbose": False,
+        "dtype": "f32",
+        "quant": "none",
+        "prefill_chunk": None,
+        "profile": None,
+    }
+
+    def take_value(i: int, name: str) -> tuple[str, int]:
+        if i + 1 >= len(argv):
+            _die(f"missing argument for {name}")
+        return argv[i + 1], i + 1
+
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg in ("-h", "--help"):
+            sys.stdout.write(USAGE)
+            return None
+        if not arg.startswith("-"):
+            if opts["bin_path"] is not None:
+                _die("multiple checkpoint paths specified")
+            opts["bin_path"] = arg
+        elif arg in ("-t", "--temperature"):
+            val, i = take_value(i, "temperature")
+            try:
+                opts["temperature"] = float(val)
+            except ValueError:
+                _die(f"unable to parse --temperature argument '{val}'")
+        elif arg in ("-p", "--top-p"):
+            val, i = take_value(i, "top-p")
+            try:
+                opts["top_p"] = min(max(float(val), 0.0), 1.0)
+            except ValueError:
+                _die(f"unable to parse --top-p argument '{val}'")
+        elif arg in ("-n", "--seq-len"):
+            val, i = take_value(i, "seq-len")
+            try:
+                opts["seq_len"] = int(val)
+            except ValueError:
+                _die(f"unable to parse --seq-len argument '{val}'")
+        elif arg in ("-i", "--input"):
+            opts["input"], i = take_value(i, "input")
+        elif arg in ("-s", "--seed"):
+            val, i = take_value(i, "seed")
+            try:
+                opts["seed"] = int(val)
+            except ValueError:
+                _die(f"unable to parse --seed argument '{val}'")
+        elif arg in ("-z", "--tokenizer"):
+            opts["tokenizer_path"], i = take_value(i, "tokenizer")
+        elif arg in ("-v", "--verbose"):
+            opts["verbose"] = True
+        elif arg == "--dtype":
+            val, i = take_value(i, "dtype")
+            if val not in ("f32", "bf16"):
+                _die(f"unable to parse --dtype argument '{val}'")
+            opts["dtype"] = val
+        elif arg == "--quant":
+            val, i = take_value(i, "quant")
+            if val not in ("none", "int8"):
+                _die(f"unable to parse --quant argument '{val}'")
+            opts["quant"] = val
+        elif arg == "--prefill-chunk":
+            val, i = take_value(i, "prefill-chunk")
+            try:
+                opts["prefill_chunk"] = int(val)
+            except ValueError:
+                _die(f"unable to parse --prefill-chunk argument '{val}'")
+        elif arg == "--profile":
+            opts["profile"], i = take_value(i, "profile")
+        else:
+            print(f"error: unknown argument '{arg}'", file=sys.stderr)
+            sys.stdout.write(USAGE)
+            return None
+        i += 1
+    if opts["bin_path"] is None:
+        sys.stdout.write(USAGE)
+        return None
+    return opts
+
+
+def main(argv: list[str] | None = None) -> int:
+    opts = parse_args(sys.argv[1:] if argv is None else argv)
+    if opts is None:
+        return 0
+
+    # import lazily so `-h` costs nothing
+    import jax
+    import jax.numpy as jnp
+
+    from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.io.checkpoint import load_checkpoint
+    from llama2_tpu.runtime.generator import Generator
+    from llama2_tpu.tokenizer.tokenizer import Tokenizer, BOS
+
+    def log(msg: str):
+        if opts["verbose"]:
+            print(msg, file=sys.stderr)
+
+    config, params, shared = load_checkpoint(opts["bin_path"])
+    log(f"config: {config}")
+    log(f"shared weights: {shared}")
+    log(f"temperature: {opts['temperature']}")
+    log(f"top-p: {opts['top_p']}")
+    log(f"devices: {jax.devices()}")
+    log(f"dtype: {opts['dtype']}  quant: {opts['quant']}")
+    log("")
+
+    tokenizer = Tokenizer.from_file(opts["tokenizer_path"], config.vocab_size)
+
+    prompt_tokens: list[int] = []
+    if opts["input"]:
+        prompt_tokens = tokenizer.encode(opts["input"])
+
+    if opts["quant"] == "int8":
+        from llama2_tpu.quant.q8 import quantize_params
+
+        params = quantize_params(params)
+    dtype = jnp.float32 if opts["dtype"] == "f32" else jnp.bfloat16
+    precision = (
+        jax.lax.Precision.HIGHEST if opts["dtype"] == "f32" else jax.lax.Precision.DEFAULT
+    )
+    generator = Generator(config, params, dtype=dtype, precision=precision)
+
+    gen = GenerationConfig(
+        temperature=opts["temperature"],
+        top_p=opts["top_p"],
+        steps=opts["seq_len"],
+        seed=opts["seed"],
+    )
+
+    profile_dir = opts["profile"]
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    try:
+        result = generator.generate(
+            prompt_tokens, gen, prefill_chunk=opts["prefill_chunk"]
+        )
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+
+    sys.stdout.buffer.write(tokenizer.decode(result.tokens, first_prev=BOS))
+    sys.stdout.buffer.flush()
+    log(f"\n\n{int(result.tokens_per_sec)} tokens per second")
+    log(f"ttft: {result.ttft_s * 1e3:.1f} ms")
+    return 0

@@ -1,0 +1,210 @@
+"""Generation runtime: prefill + fully on-device decode loop.
+
+TPU mapping of the reference's host generation loop (main.zig:987-1042): the
+3.2→3.3 edge of SURVEY.md becomes the host→device boundary. The prompt is
+prefilled as ONE batched segment on the MXU (the reference teacher-forces it
+token-at-a-time; causal masking makes the math identical), then the decode
+loop runs entirely on device inside a ``lax.while_loop`` — forward, sampling,
+KV append, and the BOS stop check all stay on device, so a decode token costs
+no host round-trip (SURVEY.md section 7 hard part (d)).
+
+Loop semantics match the reference exactly: the effective sequence is
+``[BOS] + prompt + generated``; prompt tokens are emitted verbatim (teacher
+forcing); generation stops when the next token is BOS=1 (EOS id 2 is NOT
+checked — main.zig:1016-1019); at most ``steps`` tokens are emitted. The
+teacher-forced segment is resolved on host (it is data-independent), including
+the degenerate cases: a BOS inside the prompt stops the loop there, and a
+prompt at least ``steps`` long is echoed truncated with no sampling at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama2_tpu.config import GenerationConfig, ModelConfig
+from llama2_tpu.models.llama import forward, init_cache, logits_from_hidden
+from llama2_tpu.ops import sampling
+
+BOS = 1
+
+
+@dataclasses.dataclass
+class GenerateResult:
+    tokens: list[int]  # emitted tokens (prompt echo + generated), BOS-stop applied
+    prompt_len: int
+    ttft_s: float  # time to first sampled token (prefill + first decode)
+    total_s: float
+    tokens_per_sec: float  # reference protocol: (emitted-1)/time-after-first (main.zig:1043-1047)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "mode"),
+    donate_argnames=("cache",),
+)
+def _decode_loop(
+    params,
+    cache,
+    logits0,
+    start_pos,
+    steps,
+    temperature,
+    top_p,
+    key,
+    *,
+    config: ModelConfig,
+    precision,
+    mode: int,
+):
+    """On-device sampling loop from ``start_pos`` (its logits given).
+
+    Iteration at position p: sample next token from the logits of position p,
+    stop if it is BOS, record it at out_buf[p], then run one forward step for
+    position p+1. ``steps`` is a dynamic scalar (< config.seq_len buffer
+    size), so changing ``-n`` never recompiles. Returns ``(out_buf, cache)``;
+    out_buf is int32 (seq_len,) padded with -1.
+    """
+    out_buf = jnp.full((config.seq_len,), -1, jnp.int32)
+
+    def cond(state):
+        pos, _, _, _, done = state
+        return jnp.logical_and(pos < steps, jnp.logical_not(done))
+
+    def body(state):
+        pos, logits, cache, out_buf, _ = state
+        nxt = sampling.sample(
+            logits[0, -1, :], mode, temperature, top_p, jax.random.fold_in(key, pos)
+        )
+        stop = nxt == BOS
+        out_buf = jnp.where(stop, out_buf, out_buf.at[pos].set(nxt))
+
+        def step(cache):
+            hidden, cache = forward(
+                params, cache, nxt[None, None], pos + 1, config, precision
+            )
+            return logits_from_hidden(params, hidden, precision), cache
+
+        # Run the model only if the loop continues: avoids a wasted step and
+        # an out-of-range cache write at pos+1 == seq_len.
+        cont = jnp.logical_and(jnp.logical_not(stop), pos + 1 < steps)
+        logits, cache = jax.lax.cond(cont, step, lambda c: (logits, c), cache)
+        return pos + 1, logits, cache, out_buf, stop
+
+    init = (start_pos, logits0, cache, out_buf, jnp.bool_(False))
+    _, _, cache, out_buf, _ = jax.lax.while_loop(cond, body, init)
+    return out_buf, cache
+
+
+class Generator:
+    """Owns jitted prefill/decode for one model; host API for the CLI/server."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: dict,
+        dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ):
+        self.config = config
+        self.dtype = jnp.dtype(dtype)
+        self.precision = precision
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, self.dtype)
+            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            else jnp.asarray(a),
+            params,
+        )
+
+    def _prefill(self, cache, tokens: np.ndarray, pos: int):
+        """Run a (1, T) token segment; returns last-position logits + cache."""
+        hidden, cache = forward(
+            self.params,
+            cache,
+            jnp.asarray(tokens[None, :]),
+            pos,
+            self.config,
+            self.precision,
+        )
+        logits = logits_from_hidden(self.params, hidden[:, -1:, :], self.precision)
+        return logits, cache
+
+    def generate(
+        self,
+        prompt_tokens: list[int],
+        gen: GenerationConfig,
+        prefill_chunk: int | None = None,
+    ) -> GenerateResult:
+        """The reference generation loop, device-resident.
+
+        ``prefill_chunk=1`` forces token-at-a-time prefill (parity debugging /
+        the reference's exact schedule).
+        """
+        config = self.config
+        steps = gen.resolve_steps(config.seq_len)
+        seed = gen.seed if gen.seed is not None else time.time_ns() % (2**63)
+        key = jax.random.PRNGKey(seed)
+        mode = sampling.choose_mode(gen.temperature, gen.top_p)
+        top_p = min(max(gen.top_p, 0.0), 1.0)  # clamped like main.zig:899
+
+        # Host-resolved teacher forcing: the echoed prefix is the prompt up to
+        # the first BOS (which stops the loop) and at most `steps` tokens.
+        prompt = list(prompt_tokens)
+        echo = prompt[: prompt.index(BOS)] if BOS in prompt else prompt
+        if len(echo) >= steps or len(echo) < len(prompt):
+            # Sampling never runs: the loop ends inside the prompt.
+            t0 = time.perf_counter()
+            return GenerateResult(
+                tokens=echo[: min(len(echo), steps)],
+                prompt_len=len(prompt),
+                ttft_s=time.perf_counter() - t0,
+                total_s=time.perf_counter() - t0,
+                tokens_per_sec=0.0,
+            )
+
+        t0 = time.perf_counter()
+        cache = init_cache(config, 1, self.dtype)
+        feed = np.asarray([BOS] + prompt, dtype=np.int32)  # positions 0..P
+        chunk = prefill_chunk or len(feed)
+        pos = 0
+        logits = None
+        while pos < len(feed):
+            seg = feed[pos : pos + chunk]
+            logits, cache = self._prefill(cache, seg, pos)
+            pos += len(seg)
+        jax.block_until_ready(logits)
+        t_prefill = time.perf_counter()
+
+        out_buf, cache = _decode_loop(
+            self.params,
+            cache,
+            logits,
+            jnp.int32(len(prompt)),
+            jnp.int32(steps),
+            jnp.float32(gen.temperature if gen.temperature != 0 else 1.0),
+            jnp.float32(top_p),
+            key,
+            config=config,
+            precision=self.precision,
+            mode=mode,
+        )
+        out = np.asarray(out_buf)
+        t1 = time.perf_counter()
+        generated = [int(t) for t in out if t >= 0]
+        tokens = prompt + generated
+        n = len(tokens)
+        decode_s = t1 - t_prefill
+        tps = (n - 1) / decode_s if n > 1 and decode_s > 0 else 0.0
+        self._cache = cache  # reusable donated buffer for serving
+        return GenerateResult(
+            tokens=tokens,
+            prompt_len=len(prompt),
+            ttft_s=t_prefill - t0,
+            total_s=t1 - t0,
+            tokens_per_sec=tps,
+        )
