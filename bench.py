@@ -1,0 +1,58 @@
+"""Headline benchmark: stories15M-shaped argmax decode throughput on one chip.
+
+Mirrors the reference's protocol (README.md:71-88): 256 decode steps at
+temperature 0, throughput = (emitted-1)/time-after-first-token; the reference
+achieves 660 tok/s on a Ryzen 5900X single thread. stories15M.bin itself is
+stripped from the snapshot, so weights are random with the exact stories15M
+shapes — identical compute/bandwidth profile, and argmax decode cost does not
+depend on weight values.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_TOK_S = 660.0  # reference argmax decode, README.md:86-88
+
+
+def main() -> None:
+    from __graft_entry__ import _flagship
+
+    from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.runtime.generator import Generator
+
+    config, params = _flagship()
+    g = Generator(config, params)
+
+    gen = GenerationConfig(temperature=0.0, steps=256, seed=0)
+    # Warm up: compile prefill + decode-loop programs.
+    warm = g.generate([], GenerationConfig(temperature=0.0, steps=4, seed=0))
+
+    best = 0.0
+    n_tokens = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = g.generate([], gen)
+        dt = time.perf_counter() - t0
+        n_tokens = len(res.tokens)
+        if res.tokens_per_sec > best:
+            best = res.tokens_per_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "stories15M_decode_tok_s_argmax_1chip",
+                "value": round(best, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(best / BASELINE_TOK_S, 3),
+                "n_tokens": n_tokens,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,7 @@ TPU options:
  --quant <none|int8>       weight-only group-quantized INT8 path, default none
  --prefill-chunk <int>     prefill segment length, default whole prompt
  --profile <dir>           capture a jax.profiler trace of the run into <dir>
+ --platform <name>         force a jax platform (e.g. cpu), default = env
 """
 
 
@@ -58,6 +59,7 @@ def parse_args(argv: list[str]) -> dict | None:
         "quant": "none",
         "prefill_chunk": None,
         "profile": None,
+        "platform": None,
     }
 
     def take_value(i: int, name: str) -> tuple[str, int]:
@@ -123,6 +125,8 @@ def parse_args(argv: list[str]) -> dict | None:
                 _die(f"unable to parse --prefill-chunk argument '{val}'")
         elif arg == "--profile":
             opts["profile"], i = take_value(i, "profile")
+        elif arg == "--platform":
+            opts["platform"], i = take_value(i, "platform")
         else:
             print(f"error: unknown argument '{arg}'", file=sys.stderr)
             sys.stdout.write(USAGE)
@@ -141,6 +145,9 @@ def main(argv: list[str] | None = None) -> int:
 
     # import lazily so `-h` costs nothing
     import jax
+
+    if opts["platform"]:
+        jax.config.update("jax_platforms", opts["platform"])
     import jax.numpy as jnp
 
     from llama2_tpu.config import GenerationConfig

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from llama2_tpu.config import ModelConfig
 from llama2_tpu.ops import xla as ops
+from llama2_tpu.ops.linear import linear
 
 
 def init_cache(
@@ -50,9 +51,9 @@ def _layer(
 
     # attention block
     xb = ops.rmsnorm(x, layer_params["rms_att"])
-    q = jnp.dot(xb, layer_params["wq"], precision=precision).reshape(B, T, H, hs)
-    k = jnp.dot(xb, layer_params["wk"], precision=precision).reshape(B, T, KVH, hs)
-    v = jnp.dot(xb, layer_params["wv"], precision=precision).reshape(B, T, KVH, hs)
+    q = linear(xb, layer_params["wq"], precision).reshape(B, T, H, hs)
+    k = linear(xb, layer_params["wk"], precision).reshape(B, T, KVH, hs)
+    v = linear(xb, layer_params["wv"], precision).reshape(B, T, KVH, hs)
 
     q = ops.apply_rope(q, cos, sin)
     k = ops.apply_rope(k, cos, sin)
@@ -62,13 +63,13 @@ def _layer(
 
     att = ops.attention(q, k_cache, v_cache, pos, precision=precision)
     att = att.reshape(B, T, D)
-    x = x + jnp.dot(att, layer_params["wo"], precision=precision)
+    x = x + linear(att, layer_params["wo"], precision)
 
     # FFN block
     xb = ops.rmsnorm(x, layer_params["rms_ffn"])
-    h1 = jnp.dot(xb, layer_params["w1"], precision=precision)
-    h3 = jnp.dot(xb, layer_params["w3"], precision=precision)
-    x = x + jnp.dot(ops.swiglu(h1, h3), layer_params["w2"], precision=precision)
+    h1 = linear(xb, layer_params["w1"], precision)
+    h3 = linear(xb, layer_params["w3"], precision)
+    x = x + linear(ops.swiglu(h1, h3), layer_params["w2"], precision)
     return x, k_cache, v_cache
 
 
@@ -114,4 +115,4 @@ def forward(
 
 def logits_from_hidden(params: dict, hidden: jax.Array, precision=jax.lax.Precision.HIGHEST):
     """Classifier head: ``hidden @ wcls`` → (.., vocab) float32 logits."""
-    return jnp.dot(hidden, params["wcls"], precision=precision).astype(jnp.float32)
+    return linear(hidden, params["wcls"], precision).astype(jnp.float32)

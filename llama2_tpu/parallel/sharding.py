@@ -1,0 +1,102 @@
+"""Partition specs and sharding helpers for tensor/data parallel inference.
+
+Sharding layout (SURVEY.md section 7 step 6, the scaling-book recipe — pick a
+mesh, annotate shardings, let XLA insert collectives):
+
+* column-parallel (shard out-features on ``model``): ``wq wk wv w1 w3`` — the
+  activations they produce are head-/hidden-sharded, so attention and the
+  SwiGLU gate run fully locally per shard;
+* row-parallel (shard in-features on ``model``): ``wo w2`` — their outputs are
+  partial sums; GSPMD inserts ONE all-reduce per block (the classic
+  Megatron-style pairing), which XLA overlaps with adjacent compute under the
+  latency-hiding scheduler;
+* KV cache sharded over kv-heads on ``model`` and batch on ``data`` — each
+  chip holds the KV slices for its own heads, so decode attention never
+  communicates; when tp exceeds n_kv_heads the head-size dim picks up the
+  remaining ways (MQA replication stays implicit via indexing);
+* classifier ``wcls`` vocab-sharded on ``model``: logits come out
+  vocab-sharded and the argmax/softmax reductions become XLA collectives;
+* norms and the embedding table are replicated (tiny next to the matmuls).
+
+Specs are divisibility-aware: a dimension is sharded on an axis only if the
+axis size divides it (``device_put`` is strict about this); otherwise the
+next-preferred dimension is tried, ending at replication, which is always
+correct. For peak efficiency pick tp dividing n_kv_heads.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llama2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _axis_size(mesh: Mesh, axis: str) -> int:
+    return mesh.shape[axis]
+
+
+def _shard_dim(shape: tuple[int, ...], ndim_specs: list, mesh: Mesh, axis: str, prefs):
+    """Assign ``axis`` to the first preferred dim it divides; else replicate."""
+    n = _axis_size(mesh, axis)
+    for d in prefs:
+        if shape[d] % n == 0 and ndim_specs[d] is None:
+            ndim_specs[d] = axis
+            return
+
+
+def _spec(shape: tuple[int, ...], mesh: Mesh, model_prefs, data_prefs=()) -> P:
+    specs: list = [None] * len(shape)
+    if data_prefs:
+        _shard_dim(shape, specs, mesh, DATA_AXIS, data_prefs)
+    if model_prefs:
+        _shard_dim(shape, specs, mesh, MODEL_AXIS, model_prefs)
+    return P(*specs)
+
+
+def param_specs(params: dict, mesh: Mesh) -> dict[str, P]:
+    """Per-param PartitionSpec given actual shapes (divisibility-aware)."""
+    col = lambda k: _spec(params[k].shape, mesh, model_prefs=(2,))
+    row = lambda k: _spec(params[k].shape, mesh, model_prefs=(1,))
+    return {
+        "tok_emb": P(),  # replicated; rows are gathered by token id
+        "rms_att": P(),
+        "wq": col("wq"),  # (L, D, D_out) column-parallel
+        "wk": col("wk"),
+        "wv": col("wv"),
+        "wo": row("wo"),  # (L, D_in, D) row-parallel
+        "rms_ffn": P(),
+        "w1": col("w1"),
+        "w2": row("w2"),
+        "w3": col("w3"),
+        "rms_final": P(),
+        "wcls": _spec(params["wcls"].shape, mesh, model_prefs=(1,)),  # vocab-sharded
+    }
+
+
+def cache_specs(cache: dict, mesh: Mesh) -> dict[str, P]:
+    # (n_layers, B, S, n_kv_heads, head_size): kv-heads on model (head_size
+    # picks up the ways if tp > n_kv_heads), batch on data.
+    return {
+        k: _spec(v.shape, mesh, model_prefs=(3, 4), data_prefs=(1,))
+        for k, v in cache.items()
+    }
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    specs = param_specs(params, mesh)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in params.items()
+    }
+
+
+def shard_cache(cache: dict, mesh: Mesh) -> dict:
+    specs = cache_specs(cache, mesh)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in cache.items()
+    }
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, s), tree)

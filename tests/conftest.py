@@ -8,12 +8,19 @@ pjit/mesh code without a pod. Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment presets JAX_PLATFORMS=axon (the TPU tunnel) and the axon
+# sitecustomize imports jax at interpreter startup, baking that choice in —
+# env vars set here are too late. jax.config.update IS honored, so use it.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses without axon_site
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -13,8 +13,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_cli(*args, timeout=240):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # Strip the axon sitecustomize so the subprocess really runs on CPU
+    # (PYTHONPATH=/root/.axon_site registers the TPU backend at startup).
+    env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     return subprocess.run(
         [sys.executable, "-m", "llama2_tpu", *args],
         capture_output=True,
