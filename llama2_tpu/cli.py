@@ -32,6 +32,7 @@ TPU options:
  --prefill-chunk <int>     prefill segment length, default whole prompt
  --profile <dir>           capture a jax.profiler trace of the run into <dir>
  --platform <name>         force a jax platform (e.g. cpu), default = env
+ --kernels <xla|pallas>    compute path for quantized matmuls, default xla
 """
 
 
@@ -60,6 +61,7 @@ def parse_args(argv: list[str]) -> dict | None:
         "prefill_chunk": None,
         "profile": None,
         "platform": None,
+        "kernels": "xla",
     }
 
     def take_value(i: int, name: str) -> tuple[str, int]:
@@ -127,6 +129,11 @@ def parse_args(argv: list[str]) -> dict | None:
             opts["profile"], i = take_value(i, "profile")
         elif arg == "--platform":
             opts["platform"], i = take_value(i, "platform")
+        elif arg == "--kernels":
+            val, i = take_value(i, "kernels")
+            if val not in ("xla", "pallas"):
+                _die(f"unable to parse --kernels argument '{val}'")
+            opts["kernels"] = val
         else:
             print(f"error: unknown argument '{arg}'", file=sys.stderr)
             sys.stdout.write(USAGE)
@@ -182,7 +189,9 @@ def main(argv: list[str] | None = None) -> int:
     precision = (
         jax.lax.Precision.HIGHEST if opts["dtype"] == "f32" else jax.lax.Precision.DEFAULT
     )
-    generator = Generator(config, params, dtype=dtype, precision=precision)
+    generator = Generator(
+        config, params, dtype=dtype, precision=precision, backend=opts["kernels"]
+    )
 
     gen = GenerationConfig(
         temperature=opts["temperature"],

@@ -44,6 +44,7 @@ def _layer(
     sin: jax.Array,
     config: ModelConfig,
     precision,
+    backend: str,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder layer over a (B, T, D) segment starting at ``pos``."""
     B, T, D = x.shape
@@ -51,9 +52,9 @@ def _layer(
 
     # attention block
     xb = ops.rmsnorm(x, layer_params["rms_att"])
-    q = linear(xb, layer_params["wq"], precision).reshape(B, T, H, hs)
-    k = linear(xb, layer_params["wk"], precision).reshape(B, T, KVH, hs)
-    v = linear(xb, layer_params["wv"], precision).reshape(B, T, KVH, hs)
+    q = linear(xb, layer_params["wq"], precision, backend).reshape(B, T, H, hs)
+    k = linear(xb, layer_params["wk"], precision, backend).reshape(B, T, KVH, hs)
+    v = linear(xb, layer_params["wv"], precision, backend).reshape(B, T, KVH, hs)
 
     q = ops.apply_rope(q, cos, sin)
     k = ops.apply_rope(k, cos, sin)
@@ -63,20 +64,20 @@ def _layer(
 
     att = ops.attention(q, k_cache, v_cache, pos, precision=precision)
     att = att.reshape(B, T, D)
-    x = x + linear(att, layer_params["wo"], precision)
+    x = x + linear(att, layer_params["wo"], precision, backend)
 
     # FFN block
     xb = ops.rmsnorm(x, layer_params["rms_ffn"])
-    h1 = linear(xb, layer_params["w1"], precision)
-    h3 = linear(xb, layer_params["w3"], precision)
-    x = x + linear(ops.swiglu(h1, h3), layer_params["w2"], precision)
+    h1 = linear(xb, layer_params["w1"], precision, backend)
+    h3 = linear(xb, layer_params["w3"], precision, backend)
+    x = x + linear(ops.swiglu(h1, h3), layer_params["w2"], precision, backend)
     return x, k_cache, v_cache
 
 
 _LAYER_KEYS = ("rms_att", "wq", "wk", "wv", "wo", "rms_ffn", "w1", "w2", "w3")
 
 
-@partial(jax.jit, static_argnames=("config", "precision"))
+@partial(jax.jit, static_argnames=("config", "precision", "backend"))
 def forward(
     params: dict,
     cache: dict,
@@ -84,6 +85,7 @@ def forward(
     pos,
     config: ModelConfig,
     precision=jax.lax.Precision.HIGHEST,
+    backend: str = "xla",
 ) -> tuple[jax.Array, dict]:
     """Run T tokens at positions ``pos..pos+T-1`` through all layers.
 
@@ -104,7 +106,7 @@ def forward(
         x = carry
         layer_params, k_c, v_c = xs
         x, k_c, v_c = _layer(
-            x, layer_params, k_c, v_c, pos, cos, sin, config, precision
+            x, layer_params, k_c, v_c, pos, cos, sin, config, precision, backend
         )
         return x, (k_c, v_c)
 
@@ -113,6 +115,11 @@ def forward(
     return x, {"k": k_new, "v": v_new}
 
 
-def logits_from_hidden(params: dict, hidden: jax.Array, precision=jax.lax.Precision.HIGHEST):
+def logits_from_hidden(
+    params: dict,
+    hidden: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    backend: str = "xla",
+):
     """Classifier head: ``hidden @ wcls`` → (.., vocab) float32 logits."""
-    return linear(hidden, params["wcls"], precision).astype(jnp.float32)
+    return linear(hidden, params["wcls"], precision, backend).astype(jnp.float32)

@@ -45,7 +45,7 @@ class GenerateResult:
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "mode"),
+    static_argnames=("config", "precision", "mode", "backend"),
     donate_argnames=("cache",),
 )
 def _decode_loop(
@@ -61,6 +61,7 @@ def _decode_loop(
     config: ModelConfig,
     precision,
     mode: int,
+    backend: str,
 ):
     """On-device sampling loop from ``start_pos`` (its logits given).
 
@@ -86,9 +87,9 @@ def _decode_loop(
 
         def step(cache):
             hidden, cache = forward(
-                params, cache, nxt[None, None], pos + 1, config, precision
+                params, cache, nxt[None, None], pos + 1, config, precision, backend
             )
-            return logits_from_hidden(params, hidden, precision), cache
+            return logits_from_hidden(params, hidden, precision, backend), cache
 
         # Run the model only if the loop continues: avoids a wasted step and
         # an out-of-range cache write at pos+1 == seq_len.
@@ -110,10 +111,12 @@ class Generator:
         params: dict,
         dtype=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
+        backend: str = "xla",
     ):
         self.config = config
         self.dtype = jnp.dtype(dtype)
         self.precision = precision
+        self.backend = backend
         self.params = jax.tree.map(
             lambda a: jnp.asarray(a, self.dtype)
             if np.issubdtype(np.asarray(a).dtype, np.floating)
@@ -130,8 +133,11 @@ class Generator:
             pos,
             self.config,
             self.precision,
+            self.backend,
         )
-        logits = logits_from_hidden(self.params, hidden[:, -1:, :], self.precision)
+        logits = logits_from_hidden(
+            self.params, hidden[:, -1:, :], self.precision, self.backend
+        )
         return logits, cache
 
     def generate(
@@ -192,6 +198,7 @@ class Generator:
             config=config,
             precision=self.precision,
             mode=mode,
+            backend=self.backend,
         )
         out = np.asarray(out_buf)
         t1 = time.perf_counter()
