@@ -8,10 +8,11 @@ runs as batched matmuls on the MXU. ``T=1`` is the decode step. Causal
 masking makes segment processing produce bit-the-same math as the reference's
 token-at-a-time loop up to reduction order.
 
-Cache layout: ``(n_layers, B, S, n_kv_heads, head_size)`` for K and V — the
-sequence axis is contiguous per (batch, kv-head) so decode attention reads it
-as a flash-decode stream, and kv-heads are the tensor-parallel shard axis
-(SURVEY.md section 5, long-context row).
+Cache layout: ``(n_layers, B, n_kv_heads, S, head_size)`` for K and V — each
+(batch, kv-head) owns a contiguous ``(S, head_size)`` plane, so the flash
+decode kernel DMAs sequence blocks without crossing lane tiling (Mosaic
+requires last-dim slices to be whole or 128-aligned), and kv-heads are the
+tensor-parallel shard axis (SURVEY.md section 5, long-context row).
 """
 
 from __future__ import annotations
@@ -27,10 +28,18 @@ from llama2_tpu.ops.linear import linear
 
 
 def init_cache(
-    config: ModelConfig, batch: int = 1, dtype=jnp.float32
+    config: ModelConfig, batch: int = 1, dtype=jnp.float32, lane_pad: bool = False
 ) -> dict[str, jax.Array]:
-    """Allocate the functional KV cache at full seq_len (main.zig:151-152)."""
-    shape = (config.n_layers, batch, config.seq_len, config.n_kv_heads, config.head_size)
+    """Allocate the functional KV cache at full seq_len (main.zig:151-152).
+
+    ``lane_pad`` zero-pads the head dim up to a multiple of 128 lanes — the
+    flash decode kernel's DMA requirement. Zero pad lanes change no scores or
+    outputs (q·k adds zeros; V pad columns produce zeros that are sliced off).
+    """
+    hs = config.head_size
+    if lane_pad:
+        hs = ((hs + 127) // 128) * 128
+    shape = (config.n_layers, batch, config.n_kv_heads, config.seq_len, hs)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -59,11 +68,34 @@ def _layer(
     q = ops.apply_rope(q, cos, sin)
     k = ops.apply_rope(k, cos, sin)
 
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0, 0))
+    # lane-padded cache (flash kernel): widen q/k/v head dim with zeros
+    hs_c = k_cache.shape[-1]
+    if hs_c != hs:
+        pad = [(0, 0)] * 3 + [(0, hs_c - hs)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
 
-    att = ops.attention(q, k_cache, v_cache, pos, precision=precision)
-    att = att.reshape(B, T, D)
+    # cache planes are (B, KVH, S, hs); new keys arrive as (B, T, KVH, hs)
+    k_bh = k.transpose(0, 2, 1, 3)
+    v_bh = v.transpose(0, 2, 1, 3)
+    if pos.ndim == 0:
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_bh, (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_bh, (0, 0, pos, 0))
+    else:
+        # per-row positions (continuous batching: each slot at its own pos)
+        upd = jax.vmap(
+            lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p, 0))
+        )
+        k_cache = upd(k_cache, k_bh, pos)
+        v_cache = upd(v_cache, v_bh, pos)
+
+    scale = 1.0 / (hs**0.5)  # real head size, not the lane-padded one
+    if backend == "pallas" and T == 1 and hs_c % 128 == 0:
+        from llama2_tpu.ops.pallas.attention import flash_decode_attention
+
+        att = flash_decode_attention(q, k_cache, v_cache, pos, scale=scale)
+    else:
+        att = ops.attention(q, k_cache, v_cache, pos, precision=precision, scale=scale)
+    att = att[..., :hs].reshape(B, T, D)
     x = x + linear(att, layer_params["wo"], precision, backend)
 
     # FFN block
@@ -96,9 +128,10 @@ def forward(
     """
     x = jnp.take(params["tok_emb"], tokens, axis=0)  # (B, T, D)
     x = x.astype(params["wq"].dtype)
-    pos = jnp.asarray(pos, jnp.int32)
-    positions = pos + jnp.arange(tokens.shape[1], dtype=jnp.int32)
-    cos, sin = ops.rope_angles(positions, config.head_size)  # (T, hs/2)
+    pos = jnp.asarray(pos, jnp.int32)  # scalar or per-row (B,)
+    positions = pos[..., None] + jnp.arange(tokens.shape[1], dtype=jnp.int32)
+    positions = positions.reshape(*pos.shape, tokens.shape[1])
+    cos, sin = ops.rope_angles(positions, config.head_size)  # (.., T, hs/2)
 
     layer_stack = {k: params[k] for k in _LAYER_KEYS}
 

@@ -1,0 +1,196 @@
+"""Flash decode attention over the HBM-resident KV cache.
+
+The TPU-native replacement for the reference's per-head score/softmax/AV loop
+(main.zig:361-389) at decode time: one query token attends to the cache with
+**online softmax** (max/sum carried across key blocks, never materializing
+the (H, S) score matrix) while key/value blocks stream HBM→VMEM with manual
+double-buffered DMA. The loop bound is ``ceil((pos+1)/block)`` — a *dynamic*
+``fori_loop`` bound — so a token at position 100 in a 4096-slot cache reads
+100 slots, not 4096 (the XLA fallback in ops/xla.py masks over full S).
+
+GQA/MQA: grid is (batch, kv_heads); each program handles the ``G = H/KVH``
+query heads of its group against one KV head — ``kv_mul`` replication stays
+implicit via indexing (SURVEY.md section 7 step 4).
+
+Numerics match ops.xla.attention: scores scaled by 1/sqrt(hs), f32 softmax
+accumulation, causal window [0, pos].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llama2_tpu.ops.pallas.common import cdiv, interpret_default
+
+NEG_INF = float("-inf")
+
+
+def _kernel(
+    pos_ref,  # scalar prefetch: (B,) int32 — per-row position
+    q_ref,  # (1, G, hs) VMEM
+    k_hbm,  # (B, KVH, S, hs) in HBM/ANY
+    v_hbm,
+    o_ref,  # (1, G, hs) VMEM
+    k_buf,  # (2, block_s, hs) VMEM scratch
+    v_buf,
+    sems,  # DMA sems (2, 2)
+    *,
+    block_s: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    pos = pos_ref[b]
+    n_blocks = jax.lax.div(pos, block_s) + 1  # ceil((pos+1)/block_s) blocks
+
+    def k_dma(slot, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(blk * block_s, block_s), :],
+            k_buf.at[slot],
+            sems.at[slot, 0],
+        )
+
+    def v_dma(slot, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(blk * block_s, block_s), :],
+            v_buf.at[slot],
+            sems.at[slot, 1],
+        )
+
+    # warm-up: start the first block's DMAs
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (G, hs)
+    G, hs = q.shape
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            k_dma(next_slot, i + 1).start()
+            v_dma(next_slot, i + 1).start()
+
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+
+        k = k_buf[slot].astype(jnp.float32)  # (bs, hs)
+        v = v_buf[slot].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # Mosaic default is 1-pass bf16
+        )  # (G, bs)
+        t = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
+        s = jnp.where(t <= pos, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))  # (G, 1)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)  # (G, bs)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G, 1), jnp.float32)
+    acc0 = jnp.zeros((G, hs), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_s", "interpret"))
+def _flash_decode(q, k_cache, v_cache, pos, scale: float, block_s: int, interpret: bool):
+    B, H, hs = q.shape
+    KVH, S = k_cache.shape[1], k_cache.shape[2]
+    G = H // KVH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KVH),
+        in_specs=[
+            # q laid out (B*KVH, G, hs): the block covers the whole (G, hs)
+            # trailing dims (Mosaic requires trailing block dims divisible by
+            # (8, 128) OR equal to the array dims — G can be 1 for MHA).
+            pl.BlockSpec(
+                (1, G, hs),
+                lambda b, h, pos_ref: (b * pl.num_programs(1) + h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # K cache stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # V cache stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, hs),
+            lambda b, h, pos_ref: (b * pl.num_programs(1) + h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, hs), k_cache.dtype),
+            pltpu.VMEM((2, block_s, hs), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    q3 = q.reshape(B * KVH, G, hs)
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_s=block_s, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * KVH, G, hs), q.dtype),
+        interpret=interpret,
+    )(pos, q3, k_cache, v_cache)
+    return out.reshape(B, H, hs)
+
+
+def flash_decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    pos,
+    *,
+    scale: float | None = None,
+    block_s: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Decode attention: q (B, 1, H, hs) or (B, H, hs) vs cache (B, KVH, S, hs).
+
+    Returns the same shape as ``q``. ``pos`` is the query token's position.
+    ``hs`` must be a multiple of 128 when compiled (Mosaic DMA slices must
+    cover whole 128-lane tiles) — callers zero-pad smaller head sizes (the
+    scores/outputs are unchanged by zero pad lanes) and pass the real
+    ``scale`` = 1/sqrt(real_hs).
+    """
+    squeeze = False
+    if q.ndim == 4:
+        if q.shape[1] != 1:
+            raise ValueError("flash_decode_attention is single-query (T=1)")
+        q = q[:, 0]
+        squeeze = True
+    if interpret is None:
+        interpret = interpret_default()
+    hs = q.shape[-1]
+    if not interpret and hs % 128 != 0:
+        raise ValueError(
+            f"flash decode requires head_size % 128 == 0 on TPU (got {hs}); "
+            "pad the cache head dim (Generator does this automatically)"
+        )
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    S = k_cache.shape[2]
+    bs = min(block_s, S)
+    while S % bs != 0:
+        bs //= 2
+    pos_vec = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],)
+    )
+    out = _flash_decode(q, k_cache, v_cache, pos_vec, float(scale), bs, interpret)
+    return out[:, None] if squeeze else out

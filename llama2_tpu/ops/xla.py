@@ -66,32 +66,40 @@ def attention(
     pos: jax.Array,
     *,
     precision=jax.lax.Precision.HIGHEST,
+    scale: float | None = None,
 ) -> jax.Array:
     """Causal GQA attention of T query tokens against the full KV cache.
 
-    q: (B, T, H, hs); k_cache/v_cache: (B, S, KVH, hs); ``pos`` is the
-    position of the first query token (queries occupy pos..pos+T-1).
-    Scores scaled by 1/sqrt(hs); softmax (max-subtracted, f32) over the
-    causal window [0, pos+t] per query t — causality via mask, matching the
-    reference's by-construction window (main.zig:367-378). Returns (B,T,H,hs).
+    q: (B, T, H, hs); k_cache/v_cache: (B, KVH, S, hs); ``pos`` is the
+    position of the first query token (queries occupy pos..pos+T-1), a scalar
+    or a per-row (B,) vector (continuous batching: every slot at its own
+    position). Scores scaled by 1/sqrt(hs); softmax (max-subtracted, f32)
+    over the causal window [0, pos+t] per query t — causality via mask,
+    matching the reference's by-construction window (main.zig:367-378).
+    Returns (B,T,H,hs).
     """
     B, T, H, hs = q.shape
-    S, KVH = k_cache.shape[1], k_cache.shape[2]
+    KVH, S = k_cache.shape[1], k_cache.shape[2]
     G = H // KVH
 
+    if scale is None:
+        scale = 1.0 / (hs**0.5)  # hs may be lane-padded; callers pass the real scale
     qg = q.reshape(B, T, KVH, G, hs)
     scores = jnp.einsum(
-        "btkgd,bskd->bkgts", qg, k_cache, precision=precision
+        "btkgd,bksd->bkgts", qg, k_cache, precision=precision
     ).astype(jnp.float32)
-    scores = scores / jnp.sqrt(jnp.float32(hs))
+    scores = scores * jnp.float32(scale)
 
+    pos = jnp.asarray(pos)
     key_pos = jnp.arange(S)[None, :]  # (1, S)
-    query_pos = pos + jnp.arange(T)[:, None]  # (T, 1)
-    mask = key_pos <= query_pos  # (T, S)
-    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    query_pos = pos[..., None, None] + jnp.arange(T)[:, None]  # (.., T, 1)
+    mask = key_pos <= query_pos  # (T, S) or (B, T, S)
+    if mask.ndim == 2:
+        mask = mask[None]
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
 
-    out = jnp.einsum("bkgts,bskd->btkgd", att, v_cache, precision=precision)
+    out = jnp.einsum("bkgts,bksd->btkgd", att, v_cache, precision=precision)
     return out.reshape(B, T, H, hs)
 
 

@@ -75,10 +75,10 @@ def param_specs(params: dict, mesh: Mesh) -> dict[str, P]:
 
 
 def cache_specs(cache: dict, mesh: Mesh) -> dict[str, P]:
-    # (n_layers, B, S, n_kv_heads, head_size): kv-heads on model (head_size
+    # (n_layers, B, n_kv_heads, S, head_size): kv-heads on model (head_size
     # picks up the ways if tp > n_kv_heads), batch on data.
     return {
-        k: _spec(v.shape, mesh, model_prefs=(3, 4), data_prefs=(1,))
+        k: _spec(v.shape, mesh, model_prefs=(2, 4), data_prefs=(1,))
         for k, v in cache.items()
     }
 

@@ -1,0 +1,336 @@
+"""Slot-based continuous batching engine.
+
+Capability extension over the reference (batch size is hard-coded 1 there by
+the data layout, SURVEY.md section 5 footnote) and BASELINE config 4: decode
+requests share one batched KV cache of ``batch_size`` slots; each tick runs
+ONE jitted decode step for all active slots — every slot at its own position
+(per-row ``pos`` threading through forward/attention) — then new requests are
+admitted into freed slots with chunked prefill.
+
+Scheduling model (host thread):
+  admit: pop waiting requests, prefill their prompt into a free slot's cache
+         plane (power-of-two chunk decomposition bounds jit specializations),
+         echo the prompt per reference semantics;
+  tick:  one batched decode step; per-slot sampling (argmax and top-p both
+         computed on device, selected per slot by flag — sampler mode is a
+         per-request runtime value here, unlike the CLI's static mode);
+  retire: a slot frees when its request samples BOS (main.zig:1016-1019) or
+         hits its step limit.
+
+Inactive slots keep decoding garbage at a frozen position; their writes land
+at cache positions a future tenant either overwrites (pos < its length) or
+never attends (pos beyond its causal window), so no masking is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama2_tpu.config import GenerationConfig, ModelConfig
+from llama2_tpu.models.llama import forward, init_cache, logits_from_hidden
+from llama2_tpu.ops import sampling
+
+BOS = 1
+
+PREFILL_CHUNKS = (128, 32, 8, 1)  # greedy power-of-two-ish decomposition
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: list[int]
+    gen: GenerationConfig
+    result_q: "queue.Queue"
+    submitted_at: float = dataclasses.field(default_factory=time.perf_counter)
+    # filled by the engine:
+    tokens: list[int] = dataclasses.field(default_factory=list)
+    ttft_s: float | None = None
+    steps: int = 0
+
+
+@dataclasses.dataclass
+class BatchResult:
+    tokens: list[int]
+    prompt_len: int
+    ttft_s: float
+    total_s: float
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend"),
+    donate_argnames=("cache",),
+)
+def _tick(
+    params,
+    cache,
+    tokens,  # (B,) int32 current input token per slot
+    pos,  # (B,) int32 position of that token
+    temperature,  # (B,) f32
+    top_p,  # (B,) f32
+    use_argmax,  # (B,) bool
+    key,
+    *,
+    config: ModelConfig,
+    precision,
+    backend: str,
+):
+    """One batched decode step; returns (next_tokens, cache)."""
+    hidden, cache = forward(params, cache, tokens[:, None], pos, config, precision, backend)
+    logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)  # (B, V)
+
+    B = logits.shape[0]
+    keys = jax.random.split(key, B)
+    probs = sampling.probs_from_logits(logits, temperature[:, None])
+    # top_p in {0,1} degenerates to plain multinomial (nucleus = full vocab),
+    # so one nucleus sampler covers both stochastic modes per slot.
+    p_eff = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)
+    drawn = jax.vmap(sampling.sample_top_p)(probs, p_eff, keys)
+    greedy = sampling.sample_argmax(logits)
+    nxt = jnp.where(use_argmax, greedy, drawn)
+    return nxt.astype(jnp.int32), cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend", "slot_count"),
+    donate_argnames=("cache",),
+)
+def _write_prefill(
+    params, cache, seg, pos, slot, *, config, precision, backend, slot_count
+):
+    """Prefill a (1, T) segment into batch slot ``slot``; returns last logits.
+
+    Runs the segment with a batch of 1 against the slot's cache plane (gathered
+    out, then scattered back) — each distinct segment length is one jit
+    specialization, bounded by PREFILL_CHUNKS.
+    """
+    plane = {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1) for k, v in cache.items()}
+    hidden, plane = forward(params, plane, seg, pos, config, precision, backend)
+    cache = {
+        k: jax.lax.dynamic_update_slice_in_dim(cache[k], plane[k], slot, axis=1)
+        for k in cache
+    }
+    logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
+    return logits[0], cache
+
+
+class BatchEngine:
+    """Continuous batching over a fixed pool of KV-cache slots."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: dict,
+        batch_size: int = 8,
+        dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+        backend: str = "xla",
+        default_seed: int = 0,
+    ):
+        self.config = config
+        self.batch_size = batch_size
+        self.precision = precision
+        self.backend = backend
+        self.dtype = jnp.dtype(dtype)
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, self.dtype)
+            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            else jnp.asarray(a),
+            params,
+        )
+        lane_pad = backend == "pallas" and config.head_size % 128 != 0
+        self.cache = init_cache(config, batch_size, self.dtype, lane_pad=lane_pad)
+        self.waiting: "queue.Queue[Request]" = queue.Queue()
+        self.slots: list[Request | None] = [None] * batch_size
+        # host mirrors of device state
+        self._tokens = np.zeros(batch_size, np.int32)
+        self._pos = np.zeros(batch_size, np.int32)
+        self._temp = np.ones(batch_size, np.float32)
+        self._topp = np.full(batch_size, 0.9, np.float32)
+        self._argmax = np.zeros(batch_size, bool)
+        self._base_key = jax.random.PRNGKey(default_seed)
+        self._tick_idx = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.metrics = {"requests": 0, "tokens": 0, "ttft": []}
+
+    # ---- public API ----
+
+    def submit(self, prompt_tokens: list[int], gen: GenerationConfig) -> "queue.Queue":
+        """Enqueue a request; returns a queue that yields the BatchResult."""
+        req = Request(prompt=list(prompt_tokens), gen=gen, result_q=queue.Queue())
+        self.waiting.put(req)
+        return req.result_q
+
+    def generate(self, prompt_tokens, gen, timeout=600) -> BatchResult:
+        return self.submit(prompt_tokens, gen).get(timeout=timeout)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def run_until_idle(self, max_ticks: int = 100_000):
+        """Synchronous drive (tests / batch jobs): process queue to completion."""
+        while (not self.waiting.empty() or any(self.slots)) and max_ticks > 0:
+            self._step()
+            max_ticks -= 1
+
+    # ---- engine internals ----
+
+    def _loop(self):
+        while not self._stop.is_set():
+            if self.waiting.empty() and not any(self.slots):
+                time.sleep(0.001)
+                continue
+            self._step()
+
+    def _step(self):
+        self._admit()
+        if any(self.slots):
+            self._decode_tick()
+
+    def _admit(self):
+        for slot in range(self.batch_size):
+            if self.slots[slot] is not None:
+                continue
+            try:
+                req = self.waiting.get_nowait()
+            except queue.Empty:
+                return
+            self._start_request(slot, req)
+
+    def _start_request(self, slot: int, req: Request):
+        steps = req.gen.resolve_steps(self.config.seq_len)
+        prompt = req.prompt
+        echo = prompt[: prompt.index(BOS)] if BOS in prompt else prompt
+        if len(echo) >= steps or len(echo) < len(prompt):
+            # degenerate: loop ends inside the prompt (reference semantics)
+            req.tokens = echo[: min(len(echo), steps)]
+            self._finish(slot_req=req)
+            return
+
+        feed = np.asarray([BOS] + prompt, dtype=np.int32)
+        pos = 0
+        logits = None
+        remaining = feed
+        while len(remaining):
+            for c in PREFILL_CHUNKS:
+                if len(remaining) >= c:
+                    seg = remaining[:c]
+                    logits, self.cache = _write_prefill(
+                        self.params,
+                        self.cache,
+                        jnp.asarray(seg[None, :]),
+                        jnp.int32(pos),
+                        jnp.int32(slot),
+                        config=self.config,
+                        precision=self.precision,
+                        backend=self.backend,
+                        slot_count=self.batch_size,
+                    )
+                    pos += len(seg)
+                    remaining = remaining[len(seg):]
+                    break
+
+        # sample the first generated token on host from the prefill logits
+        # (one-off; sampler modes as in main.zig:1002-1013)
+        lg = np.asarray(logits)
+        first = self._sample_host(lg, req, pos - 1)
+        req.ttft_s = time.perf_counter() - req.submitted_at
+        req.tokens = list(prompt)
+        req.steps = steps
+        if first == BOS or pos >= steps:
+            if first != BOS and pos < steps:
+                req.tokens.append(first)
+            self._finish(slot_req=req)
+            return
+        req.tokens.append(first)
+        self.slots[slot] = req
+        self._tokens[slot] = first
+        self._pos[slot] = pos
+        self._temp[slot] = req.gen.temperature if req.gen.temperature > 0 else 1.0
+        self._topp[slot] = min(max(req.gen.top_p, 0.0), 1.0)
+        self._argmax[slot] = req.gen.temperature == 0.0
+        self.metrics["requests"] += 1
+        self.metrics["ttft"].append(req.ttft_s)
+
+    def _sample_host(self, logits: np.ndarray, req: Request, pos: int) -> int:
+        gen = req.gen
+        mode = sampling.choose_mode(gen.temperature, gen.top_p)
+        if mode == sampling.ARGMAX:
+            return int(np.argmax(logits))
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(gen.seed if gen.seed is not None else 0), pos
+        )
+        probs = sampling.probs_from_logits(jnp.asarray(logits), jnp.float32(gen.temperature))
+        if mode == sampling.MULTINOMIAL:
+            return int(sampling.sample_multinomial(probs, key))
+        return int(sampling.sample_top_p(probs, jnp.float32(gen.top_p), key))
+
+    def _decode_tick(self):
+        key = jax.random.fold_in(self._base_key, self._tick_idx)
+        self._tick_idx += 1
+        nxt, self.cache = _tick(
+            self.params,
+            self.cache,
+            jnp.asarray(self._tokens),
+            jnp.asarray(self._pos),
+            jnp.asarray(self._temp),
+            jnp.asarray(self._topp),
+            jnp.asarray(self._argmax),
+            key,
+            config=self.config,
+            precision=self.precision,
+            backend=self.backend,
+        )
+        nxt = np.asarray(nxt)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            self._pos[slot] += 1
+            tok = int(nxt[slot])
+            self.metrics["tokens"] += 1
+            if tok == BOS:
+                self._finish(slot_req=req, slot=slot)
+                continue
+            req.tokens.append(tok)
+            self._tokens[slot] = tok
+            if len(req.tokens) >= req.steps or self._pos[slot] + 1 >= self.config.seq_len:
+                self._finish(slot_req=req, slot=slot)
+
+    def _finish(self, slot_req: Request, slot: int | None = None):
+        if slot is not None:
+            self.slots[slot] = None
+        slot_req.result_q.put(
+            BatchResult(
+                tokens=slot_req.tokens,
+                prompt_len=len(slot_req.prompt),
+                ttft_s=slot_req.ttft_s or 0.0,
+                total_s=time.perf_counter() - slot_req.submitted_at,
+            )
+        )
+
+    # ---- metrics ----
+
+    def ttft_percentiles(self) -> dict:
+        t = sorted(self.metrics["ttft"])
+        if not t:
+            return {"p50": None, "p95": None}
+        return {
+            "p50": t[len(t) // 2],
+            "p95": t[min(len(t) - 1, int(len(t) * 0.95))],
+        }

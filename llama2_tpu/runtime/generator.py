@@ -117,6 +117,8 @@ class Generator:
         self.dtype = jnp.dtype(dtype)
         self.precision = precision
         self.backend = backend
+        # flash decode kernel needs the cache head dim on whole 128-lane tiles
+        self.lane_pad = backend == "pallas" and config.head_size % 128 != 0
         self.params = jax.tree.map(
             lambda a: jnp.asarray(a, self.dtype)
             if np.issubdtype(np.asarray(a).dtype, np.floating)
@@ -174,7 +176,7 @@ class Generator:
             )
 
         t0 = time.perf_counter()
-        cache = init_cache(config, 1, self.dtype)
+        cache = init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
         feed = np.asarray([BOS] + prompt, dtype=np.int32)  # positions 0..P
         chunk = prefill_chunk or len(feed)
         pos = 0

@@ -1,0 +1,206 @@
+"""HTTP serving frontend over the continuous-batching engine.
+
+Stdlib-only (ThreadingHTTPServer): the reference is a one-shot CLI
+(SURVEY.md section 5, "any server/API mode: ABSENT"); this is the north-star
+serving surface (BASELINE config 4) with p50/p95 TTFT metrics.
+
+Endpoints:
+  POST /generate  {"prompt": str, "temperature": f, "top_p": f, "steps": n,
+                   "seed": n}  →  {"text", "tokens", "prompt_len",
+                   "ttft_ms", "total_ms", "tokens_per_sec"}
+  GET  /health    → {"status": "ok", "slots": N, "waiting": M}
+  GET  /metrics   → request/token counters + TTFT percentiles
+
+Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
+          [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from llama2_tpu.config import GenerationConfig
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine = None  # set by serve()
+    tokenizer = None
+
+    def _send(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def do_GET(self):
+        eng = self.engine
+        if self.path == "/health":
+            self._send(
+                200,
+                {
+                    "status": "ok",
+                    "slots": eng.batch_size,
+                    "active": sum(1 for s in eng.slots if s is not None),
+                    "waiting": eng.waiting.qsize(),
+                },
+            )
+        elif self.path == "/metrics":
+            pct = eng.ttft_percentiles()
+            self._send(
+                200,
+                {
+                    "requests": eng.metrics["requests"],
+                    "tokens": eng.metrics["tokens"],
+                    "ttft_p50_ms": None if pct["p50"] is None else pct["p50"] * 1e3,
+                    "ttft_p95_ms": None if pct["p95"] is None else pct["p95"] * 1e3,
+                },
+            )
+        else:
+            self._send(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self._send(404, {"error": "not found"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._send(400, {"error": "invalid JSON body"})
+            return
+
+        prompt = req.get("prompt", "")
+        if not isinstance(prompt, str):
+            self._send(400, {"error": "prompt must be a string"})
+            return
+        try:
+            gen = GenerationConfig(
+                temperature=float(req.get("temperature", 1.0)),
+                top_p=min(max(float(req.get("top_p", 0.9)), 0.0), 1.0),
+                steps=int(req.get("steps", 0)),
+                seed=req.get("seed"),
+            )
+        except (TypeError, ValueError) as e:
+            self._send(400, {"error": f"bad parameter: {e}"})
+            return
+
+        try:
+            prompt_tokens = self.tokenizer.encode(prompt) if prompt else []
+        except ValueError as e:
+            self._send(400, {"error": str(e)})
+            return
+
+        try:
+            res = self.engine.generate(prompt_tokens, gen, timeout=600)
+        except Exception as e:  # noqa: BLE001 — surface engine errors as 500s
+            self._send(500, {"error": str(e)})
+            return
+
+        text = self.tokenizer.decode(res.tokens).decode("utf-8", errors="replace")
+        decode_s = max(res.total_s - res.ttft_s, 1e-9)
+        self._send(
+            200,
+            {
+                "text": text,
+                "tokens": res.tokens,
+                "prompt_len": res.prompt_len,
+                "ttft_ms": res.ttft_s * 1e3,
+                "total_ms": res.total_s * 1e3,
+                "tokens_per_sec": max(len(res.tokens) - 1, 0) / decode_s,
+            },
+        )
+
+
+def serve(engine, tokenizer, host: str = "127.0.0.1", port: int = 8000):
+    """Start the engine thread + HTTP server (blocks)."""
+    _Handler.engine = engine
+    _Handler.tokenizer = tokenizer
+    engine.start()
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    print(f"serving on http://{host}:{port} (slots={engine.batch_size})", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    finally:
+        engine.stop()
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    path = None
+    tok_path = "tokenizer.bin"
+    port = 8000
+    host = "127.0.0.1"
+    batch = 8
+    quant = "none"
+    dtype = "f32"
+    platform = None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-z":
+            i += 1
+            tok_path = argv[i]
+        elif a == "--port":
+            i += 1
+            port = int(argv[i])
+        elif a == "--host":
+            i += 1
+            host = argv[i]
+        elif a == "--batch-size":
+            i += 1
+            batch = int(argv[i])
+        elif a == "--quant":
+            i += 1
+            quant = argv[i]
+        elif a == "--dtype":
+            i += 1
+            dtype = argv[i]
+        elif a == "--platform":
+            i += 1
+            platform = argv[i]
+        elif not a.startswith("-") and path is None:
+            path = a
+        else:
+            print(f"unknown argument {a}", file=sys.stderr)
+            return 1
+        i += 1
+    if path is None:
+        print(__doc__, file=sys.stderr)
+        return 1
+
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from llama2_tpu.io.checkpoint import load_checkpoint
+    from llama2_tpu.runtime.batch_engine import BatchEngine
+    from llama2_tpu.tokenizer.tokenizer import Tokenizer
+
+    config, params, _ = load_checkpoint(path)
+    tokenizer = Tokenizer.from_file(tok_path, config.vocab_size)
+    if quant == "int8":
+        from llama2_tpu.quant.q8 import quantize_params
+
+        params = quantize_params(params)
+    engine = BatchEngine(
+        config,
+        params,
+        batch_size=batch,
+        dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+    )
+    serve(engine, tokenizer, host, port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

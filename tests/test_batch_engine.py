@@ -1,0 +1,95 @@
+"""Continuous batching tests: batched decode must equal single-stream decode.
+
+Argmax is deterministic, so every request processed through the slot-based
+engine must produce exactly the tokens the single-request Generator produces
+— even when requests of different lengths share the batch and slots are
+reused (BASELINE config 4's correctness core)."""
+
+import numpy as np
+import pytest
+
+from llama2_tpu.config import GenerationConfig
+from llama2_tpu.io.checkpoint import load_checkpoint
+from llama2_tpu.runtime.batch_engine import BatchEngine
+from llama2_tpu.runtime.generator import Generator
+
+
+@pytest.fixture(scope="module")
+def engine_and_ref(tiny_checkpoint):
+    path, config, _ = tiny_checkpoint
+    _, params, _ = load_checkpoint(path)
+    ref = Generator(config, params)
+    return config, params, ref
+
+
+def test_batched_equals_single_stream(engine_and_ref):
+    config, params, ref = engine_and_ref
+    prompts = [[5, 17], [], [320, 9, 44], [7], [250, 4, 99, 2, 18]]
+    gen = GenerationConfig(temperature=0.0, steps=24)
+
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = BatchEngine(config, params, batch_size=3)
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    results = [q.get(timeout=60) for q in queues]
+
+    for p, want, got in zip(prompts, expected, results):
+        assert got.tokens == want, f"prompt {p}: {got.tokens} != {want}"
+
+
+def test_more_requests_than_slots(engine_and_ref):
+    config, params, ref = engine_and_ref
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    prompts = [[i + 2] for i in range(7)]
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = BatchEngine(config, params, batch_size=2)
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for want, q in zip(expected, queues):
+        assert q.get(timeout=60).tokens == want
+
+
+def test_degenerate_requests(engine_and_ref):
+    config, params, _ = engine_and_ref
+    eng = BatchEngine(config, params, batch_size=2)
+    q1 = eng.submit(list(range(2, 40)), GenerationConfig(temperature=0.0, steps=8))
+    q2 = eng.submit([5, 1, 9], GenerationConfig(temperature=0.0, steps=16))
+    eng.run_until_idle()
+    assert q1.get(timeout=60).tokens == list(range(2, 10))  # echo truncated
+    assert q2.get(timeout=60).tokens == [5]  # BOS inside prompt stops
+
+
+def test_sampled_requests_complete(engine_and_ref):
+    config, params, _ = engine_and_ref
+    eng = BatchEngine(config, params, batch_size=2)
+    gen = GenerationConfig(temperature=0.9, top_p=0.9, steps=16, seed=3)
+    queues = [eng.submit([7], gen) for _ in range(3)]
+    eng.run_until_idle()
+    for q in queues:
+        res = q.get(timeout=60)
+        assert 1 <= len(res.tokens) <= 16
+        assert all(0 <= t < config.vocab_size for t in res.tokens)
+
+
+def test_metrics(engine_and_ref):
+    config, params, _ = engine_and_ref
+    eng = BatchEngine(config, params, batch_size=2)
+    for _ in range(3):
+        eng.submit([9], GenerationConfig(temperature=0.0, steps=6))
+    eng.run_until_idle()
+    assert eng.metrics["requests"] == 3
+    pct = eng.ttft_percentiles()
+    assert pct["p50"] is not None and pct["p50"] > 0
+
+
+def test_background_thread(engine_and_ref):
+    config, params, _ = engine_and_ref
+    eng = BatchEngine(config, params, batch_size=2)
+    eng.start()
+    try:
+        res = eng.generate([5], GenerationConfig(temperature=0.0, steps=8), timeout=120)
+        assert len(res.tokens) >= 1
+    finally:
+        eng.stop()

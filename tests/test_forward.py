@@ -68,8 +68,8 @@ def test_prefill_equals_token_at_a_time(loaded):
         np.asarray(hidden_a)[0, -1], np.asarray(last_hidden)[0, 0], rtol=1e-5, atol=1e-6
     )
     np.testing.assert_allclose(
-        np.asarray(cache_a["k"])[:, :, : len(tokens)],
-        np.asarray(cache_b["k"])[:, :, : len(tokens)],
+        np.asarray(cache_a["k"])[:, :, :, : len(tokens)],
+        np.asarray(cache_b["k"])[:, :, :, : len(tokens)],
         rtol=1e-5,
         atol=1e-6,
     )

@@ -49,3 +49,110 @@ def test_quant_matmul_rejects_stacked():
     t = quantize(np.ones((2, 64, 8), dtype=np.float32))
     with pytest.raises(ValueError):
         quant_matmul(jnp.ones((1, 64)), t, interpret=True)
+
+
+# ---- flash decode attention ----
+
+from llama2_tpu.ops.pallas.attention import flash_decode_attention
+from llama2_tpu.ops import xla as ox
+
+
+@pytest.mark.parametrize(
+    "B,H,KVH,hs,S,pos",
+    [
+        (1, 6, 6, 48, 256, 0),      # stories15M shapes, first token
+        (1, 6, 6, 48, 256, 100),
+        (1, 6, 6, 48, 256, 255),    # full cache
+        (2, 8, 2, 64, 128, 127),    # GQA, batch
+        (1, 4, 1, 32, 64, 17),      # MQA
+        (1, 32, 4, 128, 512, 300),  # llama-7B-ish head layout
+    ],
+)
+def test_flash_decode_vs_oracle(B, H, KVH, hs, S, pos):
+    rng = np.random.default_rng(B * 100 + pos)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hs)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+    got = np.asarray(flash_decode_attention(q, k, v, pos, interpret=True))
+    want = np.asarray(ox.attention(q, k, v, pos))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_decode_per_row_positions():
+    rng = np.random.default_rng(0)
+    B, H, KVH, hs, S = 3, 4, 2, 64, 128
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hs)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+    pos = jnp.asarray([5, 77, 127])
+    got = np.asarray(flash_decode_attention(q, k, v, pos, interpret=True))
+    want = np.asarray(ox.attention(q, k, v, pos))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_decode_lane_padded_cache_matches_unpadded():
+    """Zero lane padding of head_size must not change the output."""
+    rng = np.random.default_rng(1)
+    B, H, KVH, hs, S = 1, 6, 6, 48, 64
+    q = rng.standard_normal((B, 1, H, hs)).astype(np.float32)
+    k = rng.standard_normal((B, KVH, S, hs)).astype(np.float32)
+    v = rng.standard_normal((B, KVH, S, hs)).astype(np.float32)
+    pad = ((0, 0), (0, 0), (0, 0), (0, 128 - hs))
+    qp = np.pad(q, ((0, 0), (0, 0), (0, 0), (0, 128 - hs)))
+    kp, vp = np.pad(k, pad), np.pad(v, pad)
+    want = np.asarray(ox.attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 40))
+    got = np.asarray(
+        flash_decode_attention(
+            jnp.asarray(qp), jnp.asarray(kp), jnp.asarray(vp), 40,
+            scale=1.0 / hs**0.5, interpret=True,
+        )
+    )[..., :hs]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ---- fused rmsnorm / swiglu ----
+
+from llama2_tpu.ops.pallas.rmsnorm import rmsnorm as p_rmsnorm
+from llama2_tpu.ops.pallas.swiglu import swiglu as p_swiglu
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 288), (2, 7, 64), (1, 300, 172)])
+def test_pallas_rmsnorm_vs_oracle(shape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    w = jnp.asarray(1 + 0.1 * rng.standard_normal(shape[-1]).astype(np.float32))
+    got = np.asarray(p_rmsnorm(x, w, interpret=True))
+    want = np.asarray(ox.rmsnorm(x, w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 768), (2, 7, 64), (1, 300, 172)])
+def test_pallas_swiglu_vs_oracle(shape):
+    rng = np.random.default_rng(0)
+    h1 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    h3 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    got = np.asarray(p_swiglu(h1, h3, interpret=True))
+    want = np.asarray(ox.swiglu(h1, h3))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_model_forward_pallas_backend_matches_xla(tiny_checkpoint):
+    """Full forward with backend=pallas (flash attention on lane-padded
+    cache + pallas dequant matmul) vs the XLA path, on CPU interpret."""
+    from llama2_tpu.io.checkpoint import load_checkpoint
+    from llama2_tpu.models.llama import forward, init_cache, logits_from_hidden
+    from llama2_tpu.quant.q8 import quantize_params
+
+    path, config, _ = tiny_checkpoint
+    _, params, _ = load_checkpoint(path)
+    qp = quantize_params(params)
+    tok = jnp.asarray([[42]])
+
+    h_x, _ = forward(qp, init_cache(config), tok, 0, config, backend="xla")
+    lx = np.asarray(logits_from_hidden(qp, h_x, backend="xla"))
+    h_p, _ = forward(
+        qp, init_cache(config, lane_pad=True), tok, 0, config, backend="pallas"
+    )
+    lp = np.asarray(logits_from_hidden(qp, h_p, backend="pallas"))
+    np.testing.assert_allclose(lp, lx, rtol=1e-4, atol=1e-4)
+    assert np.argmax(lp) == np.argmax(lx)
