@@ -158,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     import jax.numpy as jnp
 
     from llama2_tpu.config import GenerationConfig
-    from llama2_tpu.io.checkpoint import load_checkpoint
+    from llama2_tpu.io import load_any
     from llama2_tpu.runtime.generator import Generator
     from llama2_tpu.tokenizer.tokenizer import Tokenizer, BOS
 
@@ -166,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         if opts["verbose"]:
             print(msg, file=sys.stderr)
 
-    config, params, shared = load_checkpoint(opts["bin_path"])
+    config, params, shared = load_any(opts["bin_path"])
     log(f"config: {config}")
     log(f"shared weights: {shared}")
     log(f"temperature: {opts['temperature']}")
@@ -182,9 +182,10 @@ def main(argv: list[str] | None = None) -> int:
         prompt_tokens = tokenizer.encode(opts["input"])
 
     if opts["quant"] == "int8":
-        from llama2_tpu.quant.q8 import quantize_params
+        from llama2_tpu.quant.q8 import QuantTensor, quantize_params
 
-        params = quantize_params(params)
+        if not any(isinstance(v, QuantTensor) for v in params.values()):
+            params = quantize_params(params)
     dtype = jnp.float32 if opts["dtype"] == "f32" else jnp.bfloat16
     precision = (
         jax.lax.Precision.HIGHEST if opts["dtype"] == "f32" else jax.lax.Precision.DEFAULT

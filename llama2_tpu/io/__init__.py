@@ -1,3 +1,19 @@
 from llama2_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 
-__all__ = ["load_checkpoint", "save_checkpoint"]
+
+def load_any(path: str):
+    """Load a checkpoint, sniffing the format: ak42 v2 (INT8) or v0 fp32.
+
+    Returns ``(config, params, shared)``; params contain QuantTensors for the
+    v2 format's matmul weights.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"24ka":  # 0x616b3432 little-endian
+        from llama2_tpu.io.quantized import load_quantized_checkpoint
+
+        return load_quantized_checkpoint(path)
+    return load_checkpoint(path)
+
+
+__all__ = ["load_checkpoint", "save_checkpoint", "load_any"]

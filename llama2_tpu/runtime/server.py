@@ -182,12 +182,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
 
-    from llama2_tpu.io.checkpoint import load_checkpoint
+    from llama2_tpu.io import load_any
     from llama2_tpu.runtime.batch_engine import BatchEngine
-    from llama2_tpu.tokenizer.tokenizer import Tokenizer
+    from llama2_tpu.tokenizer.fast import load_tokenizer
 
-    config, params, _ = load_checkpoint(path)
-    tokenizer = Tokenizer.from_file(tok_path, config.vocab_size)
+    config, params, _ = load_any(path)
+    tokenizer = load_tokenizer(tok_path, config.vocab_size)
     if quant == "int8":
         from llama2_tpu.quant.q8 import quantize_params
 
