@@ -1,0 +1,180 @@
+"""Per-kernel roofline microbenchmarks — the ``benchmarks/`` analog.
+
+The reference ships scalar-vs-SIMD harnesses (benchmarks/rmsnorm.zig,
+softmax.zig, sample.zig, SURVEY.md section 2.14); ours time each Pallas
+kernel against its XLA oracle and report us/op, achieved GB/s and % of the
+v5e HBM roofline (819 GB/s).
+
+Measurement rule for this environment (learned the hard way — see
+ops/pallas/quant_matmul.py history): per-dispatch tunnel latency is ~400us
+and jit-constant operands get re-staged per call, so every timing loop runs
+INSIDE one jitted program with all operands loop-carried.
+
+    python benchmarks/kernels.py [rmsnorm|swiglu|quant_matmul|attention|sample|all]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+HBM_GBS = 819.0  # v5e
+
+
+def _timed(run, iters):
+    run()  # compile
+    t0 = time.perf_counter()
+    run()
+    return (time.perf_counter() - t0) / iters
+
+
+def _report(name, dt, bytes_accessed, flops=0):
+    gbs = bytes_accessed / dt / 1e9
+    line = f"{name:34s} {dt * 1e6:9.1f} us/op  {gbs:7.1f} GB/s  {gbs / HBM_GBS * 100:5.1f}% HBM"
+    if flops:
+        line += f"  {flops / dt / 1e12:6.2f} TFLOP/s"
+    print(line)
+
+
+def bench_rmsnorm(iters=200):
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops import xla as ox
+    from llama2_tpu.ops.pallas.rmsnorm import rmsnorm as p_rms
+
+    rng = np.random.default_rng(0)
+    for R, D in ((1, 4096), (256, 4096), (1024, 8192)):
+        x0 = jnp.asarray(rng.standard_normal((R, D)).astype(np.float32))
+        w = jnp.asarray(1 + 0.1 * rng.standard_normal(D).astype(np.float32))
+        nbytes = 2 * R * D * 4
+
+        for name, f in (("xla", lambda x: ox.rmsnorm(x, w)),
+                        ("pallas", lambda x: p_rms(x, w, interpret=False))):
+            @jax.jit
+            def loop(x, w=w, f=f):
+                def it(i, x):
+                    return x + f(x) * 1e-12
+                return jax.lax.fori_loop(0, iters, it, x)
+            dt = _timed(lambda: jax.block_until_ready(loop(x0)), iters)
+            _report(f"rmsnorm[{R}x{D}] {name}", dt, nbytes)
+
+
+def bench_swiglu(iters=200):
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops import xla as ox
+    from llama2_tpu.ops.pallas.swiglu import swiglu as p_swi
+
+    rng = np.random.default_rng(0)
+    for R, D in ((1, 11008), (256, 11008)):
+        a0 = jnp.asarray(rng.standard_normal((R, D)).astype(np.float32))
+        b0 = jnp.asarray(rng.standard_normal((R, D)).astype(np.float32))
+        nbytes = 3 * R * D * 4
+        for name, f in (("xla", ox.swiglu), ("pallas", lambda a, b: p_swi(a, b, interpret=False))):
+            @jax.jit
+            def loop(a, b, f=f):
+                def it(i, a):
+                    return a + f(a, b) * 1e-12
+                return jax.lax.fori_loop(0, iters, it, a)
+            dt = _timed(lambda: jax.block_until_ready(loop(a0, b0)), iters)
+            _report(f"swiglu[{R}x{D}] {name}", dt, nbytes)
+
+
+def bench_quant_matmul(iters=100):
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops.pallas.quant_matmul import quant_matmul
+    from llama2_tpu.quant.q8 import dequantize, quantize
+
+    rng = np.random.default_rng(0)
+    for M, K, N in ((1, 4096, 11008), (8, 4096, 11008), (1, 4096, 4096)):
+        x0 = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.02
+        t = quantize(w, 64)
+        nbytes = K * N + (K // 64) * N * 4 + M * (K + N) * 4
+        flops = 2 * M * K * N
+        variants = (
+            ("pallas fused", lambda x, t=t: quant_matmul(x, t, interpret=False)),
+            ("xla dequant+dot", lambda x, t=t: jnp.dot(
+                x, dequantize(t), precision=jax.lax.Precision.HIGHEST)),
+        )
+        for name, f in variants:
+            @jax.jit
+            def loop(x, q, s, f=f):
+                def it(i, x):
+                    y = f(x)
+                    return x + y[:, :K] * 1e-12
+                return jax.lax.fori_loop(0, iters, it, x)
+            dt = _timed(lambda: jax.block_until_ready(loop(x0, t.q, t.scale)), iters)
+            _report(f"q8matmul[{M}x{K}x{N}] {name}", dt, nbytes, flops)
+
+
+def bench_attention(iters=100):
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops import xla as ox
+    from llama2_tpu.ops.pallas.attention import flash_decode_attention
+
+    rng = np.random.default_rng(0)
+    B, H, KVH, hs = 1, 32, 4, 128
+    for S, pos in ((2048, 2047), (8192, 8191), (8192, 1023)):
+        q0 = jnp.asarray(rng.standard_normal((B, 1, H, hs)).astype(np.float32))
+        k0 = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+        v0 = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+        nbytes = 2 * (pos + 1) * KVH * hs * 4
+        for name, f in (
+            ("flash", lambda q, k, v: flash_decode_attention(q, k, v, pos, interpret=False)),
+            ("xla", lambda q, k, v: ox.attention(q, k, v, pos)),
+        ):
+            @jax.jit
+            def loop(q, k, v, f=f):
+                def it(i, c):
+                    q, k, v = c
+                    return (q + f(q, k, v) * 1e-12, k, v)
+                return jax.lax.fori_loop(0, iters, it, (q, k, v))[0]
+            dt = _timed(lambda: jax.block_until_ready(loop(q0, k0, v0)), iters)
+            _report(f"attn[S{S},pos{pos}] {name}", dt, nbytes)
+
+
+def bench_sample(iters=200):
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops import sampling
+
+    rng = np.random.default_rng(0)
+    V = 32000
+    logits0 = jnp.asarray(rng.standard_normal(V).astype(np.float32) * 3)
+    key = jax.random.PRNGKey(0)
+    variants = (
+        ("argmax", lambda l, k: sampling.sample_argmax(l).astype(jnp.float32)),
+        ("multinomial", lambda l, k: sampling.sample_multinomial(
+            sampling.probs_from_logits(l, jnp.float32(1.0)), k).astype(jnp.float32)),
+        ("top_p 0.9 (full sort)", lambda l, k: sampling.sample_top_p(
+            sampling.probs_from_logits(l, jnp.float32(1.0)), jnp.float32(0.9), k).astype(jnp.float32)),
+    )
+    for name, f in variants:
+        @jax.jit
+        def loop(l, f=f):
+            def it(i, l):
+                t = f(l, jax.random.fold_in(key, i))
+                return l + t * 1e-12
+            return jax.lax.fori_loop(0, iters, it, l)
+        dt = _timed(lambda: jax.block_until_ready(loop(logits0)), iters)
+        _report(f"sample[{V}] {name}", dt, V * 4)
+
+
+ALL = {
+    "rmsnorm": bench_rmsnorm,
+    "swiglu": bench_swiglu,
+    "quant_matmul": bench_quant_matmul,
+    "attention": bench_attention,
+    "sample": bench_sample,
+}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = ALL.keys() if which == "all" else [which]
+    for n in names:
+        ALL[n]()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Multi-host initialization over DCN (SURVEY.md section 5.8 — new
+first-class component; the reference is one memory space).
+
+On a TPU pod slice each host runs the same program; ``jax.distributed``
+wires the hosts' processes into one JAX runtime over DCN, after which
+``jax.devices()`` spans the whole slice and a ``Mesh`` built from it carries
+the ``model`` axis over ICI within a slice and (if sliced) ``data`` over DCN.
+
+Usage (same command on every host; coordinator = host 0):
+
+    from llama2_tpu.parallel import distributed
+    distributed.initialize()          # env-driven (TPU metadata / JAX envs)
+    # or explicitly:
+    distributed.initialize("10.0.0.1:8476", num_processes=4, process_id=i)
+
+Failure handling: ``jax.distributed`` uses the coordination service's
+barrier/heartbeat over DCN; a lost host surfaces as a coordination timeout
+error on the others. The serving layer's recovery contract is deterministic
+re-init — reload params from the checkpoint and rebuild the mesh
+(weights are read-only at inference, so no training state is lost) — and the
+HTTP frontend re-queues in-flight requests (runtime/batch_engine.py puts an
+error result to each waiting queue on engine failure so callers can retry).
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX; no-op when already initialized or 1 host."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def host_local_batch(global_batch: int) -> int:
+    """Split a global batch across hosts (continuous batching shards slots)."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
+    return global_batch // n

@@ -172,7 +172,10 @@ class BatchEngine:
         return req.result_q
 
     def generate(self, prompt_tokens, gen, timeout=600) -> BatchResult:
-        return self.submit(prompt_tokens, gen).get(timeout=timeout)
+        res = self.submit(prompt_tokens, gen).get(timeout=timeout)
+        if isinstance(res, Exception):
+            raise res
+        return res
 
     def start(self):
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -196,7 +199,33 @@ class BatchEngine:
             if self.waiting.empty() and not any(self.slots):
                 time.sleep(0.001)
                 continue
-            self._step()
+            try:
+                self._step()
+            except Exception as e:  # noqa: BLE001 — failure detection:
+                # fail in-flight requests with the error (callers retry) and
+                # keep serving; weights are read-only so state re-init is
+                # just a fresh cache (SURVEY.md section 5, failure row).
+                self._fail_all(e)
+
+    def _fail_all(self, err: Exception):
+        from llama2_tpu.models.llama import init_cache as _ic
+
+        for slot, req in enumerate(self.slots):
+            if req is not None:
+                req.result_q.put(err)
+                self.slots[slot] = None
+        while True:
+            try:
+                req = self.waiting.get_nowait()
+            except queue.Empty:
+                break
+            req.result_q.put(err)
+        self.cache = _ic(
+            self.config,
+            self.batch_size,
+            self.dtype,
+            lane_pad=self.backend == "pallas" and self.config.head_size % 128 != 0,
+        )
 
     def _step(self):
         self._admit()

@@ -93,3 +93,31 @@ def test_background_thread(engine_and_ref):
         assert len(res.tokens) >= 1
     finally:
         eng.stop()
+
+
+def test_engine_failure_fails_requests_and_recovers(engine_and_ref, monkeypatch):
+    """A crashed tick fails in-flight requests with the error; the engine
+    keeps serving new ones from a fresh cache (failure-detection contract)."""
+    config, params, _ = engine_and_ref
+    eng = BatchEngine(config, params, batch_size=2)
+    eng.start()
+    try:
+        boom = RuntimeError("injected device loss")
+        orig = eng._decode_tick
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise boom
+            return orig()
+
+        eng._decode_tick = flaky
+        q = eng.submit([5], GenerationConfig(temperature=0.0, steps=8))
+        res = q.get(timeout=120)
+        assert isinstance(res, RuntimeError)
+        # engine recovered: next request completes
+        res2 = eng.generate([5], GenerationConfig(temperature=0.0, steps=8), timeout=120)
+        assert len(res2.tokens) >= 1
+    finally:
+        eng.stop()
