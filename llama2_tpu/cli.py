@@ -33,6 +33,8 @@ TPU options:
  --profile <dir>           capture a jax.profiler trace of the run into <dir>
  --platform <name>         force a jax platform (e.g. cpu), default = env
  --kernels <xla|pallas>    compute path for quantized matmuls, default xla
+ --save-cache <dir>        write the loaded params to a fast-load cache dir
+ --warmup                  run a warmup generate so tokens/s excludes compile
 """
 
 
@@ -62,6 +64,8 @@ def parse_args(argv: list[str]) -> dict | None:
         "profile": None,
         "platform": None,
         "kernels": "xla",
+        "save_cache": None,
+        "warmup": False,
     }
 
     def take_value(i: int, name: str) -> tuple[str, int]:
@@ -134,6 +138,10 @@ def parse_args(argv: list[str]) -> dict | None:
             if val not in ("xla", "pallas"):
                 _die(f"unable to parse --kernels argument '{val}'")
             opts["kernels"] = val
+        elif arg == "--save-cache":
+            opts["save_cache"], i = take_value(i, "save-cache")
+        elif arg == "--warmup":
+            opts["warmup"] = True
         else:
             print(f"error: unknown argument '{arg}'", file=sys.stderr)
             sys.stdout.write(USAGE)
@@ -186,6 +194,11 @@ def main(argv: list[str] | None = None) -> int:
 
         if not any(isinstance(v, QuantTensor) for v in params.values()):
             params = quantize_params(params)
+    if opts["save_cache"]:
+        from llama2_tpu.io.cache import save_cache
+
+        save_cache(opts["save_cache"], config, params)
+        log(f"wrote param cache to {opts['save_cache']}")
     dtype = jnp.float32 if opts["dtype"] == "f32" else jnp.bfloat16
     precision = (
         jax.lax.Precision.HIGHEST if opts["dtype"] == "f32" else jax.lax.Precision.DEFAULT
@@ -200,6 +213,9 @@ def main(argv: list[str] | None = None) -> int:
         steps=opts["seq_len"],
         seed=opts["seed"],
     )
+
+    if opts["warmup"]:
+        generator.generate([], GenerationConfig(temperature=0.0, steps=2, seed=0))
 
     profile_dir = opts["profile"]
     if profile_dir:

@@ -2,11 +2,19 @@ from llama2_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 
 
 def load_any(path: str):
-    """Load a checkpoint, sniffing the format: ak42 v2 (INT8) or v0 fp32.
+    """Load a checkpoint, sniffing the format: param-cache directory,
+    ak42 v2 (INT8), or v0 fp32.
 
     Returns ``(config, params, shared)``; params contain QuantTensors for the
-    v2 format's matmul weights.
+    quantized formats' matmul weights.
     """
+    import os
+
+    if os.path.isdir(path):
+        from llama2_tpu.io.cache import load_cache
+
+        config, params = load_cache(path)
+        return config, params, False
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == b"24ka":  # 0x616b3432 little-endian

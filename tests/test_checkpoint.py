@@ -82,3 +82,28 @@ def test_matmul_layout_against_flat_file(tmp_path):
     x = np.arange(config.dim, dtype=np.float32)
     # reference computes W(d,n) @ x(n); our layout computes x @ wq -> same vector
     np.testing.assert_allclose(wq_file @ x, x @ params2["wq"][0], rtol=1e-6)
+
+
+def test_param_cache_roundtrip(tmp_path):
+    from llama2_tpu.io.cache import is_cache_dir, load_cache, save_cache
+    from llama2_tpu.io import load_any
+    from llama2_tpu.quant.q8 import QuantTensor, quantize_params
+
+    config = tiny_config()
+    params = quantize_params(random_params(config, seed=8), 32)
+    d = str(tmp_path / "cache")
+    save_cache(d, config, params)
+    assert is_cache_dir(d)
+
+    config2, loaded = load_cache(d)
+    assert config2 == config
+    for k, v in params.items():
+        if isinstance(v, QuantTensor):
+            np.testing.assert_array_equal(np.asarray(loaded[k].q), np.asarray(v.q))
+            np.testing.assert_array_equal(np.asarray(loaded[k].scale), np.asarray(v.scale))
+            assert loaded[k].group_size == v.group_size
+        else:
+            np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(v))
+
+    config3, loaded2, shared = load_any(d)  # directory sniffing
+    assert config3 == config and shared is False
