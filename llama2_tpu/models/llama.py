@@ -89,7 +89,11 @@ def _layer(
         v_cache = upd(v_cache, v_bh, pos)
 
     scale = 1.0 / (hs**0.5)  # real head size, not the lane-padded one
-    if backend == "pallas" and T == 1 and hs_c % 128 == 0:
+    if backend == "pallas" and hs_c % 128 == 0 and pos.ndim == 0 and T > 1:
+        from llama2_tpu.ops.pallas.prefill_attention import flash_prefill_attention
+
+        att = flash_prefill_attention(q, k_cache, v_cache, pos, scale=scale)
+    elif backend == "pallas" and T == 1 and hs_c % 128 == 0:
         from llama2_tpu.ops.pallas.attention import flash_decode_attention
 
         att = flash_decode_attention(q, k_cache, v_cache, pos, scale=scale)

@@ -156,3 +156,43 @@ def test_model_forward_pallas_backend_matches_xla(tiny_checkpoint):
     lp = np.asarray(logits_from_hidden(qp, h_p, backend="pallas"))
     np.testing.assert_allclose(lp, lx, rtol=1e-4, atol=1e-4)
     assert np.argmax(lp) == np.argmax(lx)
+
+
+# ---- flash prefill attention ----
+
+from llama2_tpu.ops.pallas.prefill_attention import flash_prefill_attention
+
+
+@pytest.mark.parametrize(
+    "B,T,H,KVH,hs,S,pos",
+    [
+        (1, 8, 6, 6, 48, 64, 0),
+        (1, 8, 6, 6, 48, 64, 13),   # continuation segment
+        (2, 16, 8, 2, 64, 128, 32),  # GQA batch
+        (1, 5, 4, 1, 32, 64, 10),   # MQA, T not a power of two
+        (1, 7, 4, 2, 64, 64, 0),    # odd T forces block_q shrink
+    ],
+)
+def test_flash_prefill_vs_oracle(B, T, H, KVH, hs, S, pos):
+    rng = np.random.default_rng(T * 10 + pos)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hs)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+    got = np.asarray(flash_prefill_attention(q, k, v, pos, interpret=True))
+    want = np.asarray(ox.attention(q, k, v, pos))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_generate_pallas_backend_matches_xla_tokens(tiny_checkpoint):
+    """Full argmax generation must be token-identical across backends."""
+    from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.io.checkpoint import load_checkpoint
+    from llama2_tpu.runtime.generator import Generator
+
+    path, config, _ = tiny_checkpoint
+    _, params, _ = load_checkpoint(path)
+    gen = GenerationConfig(temperature=0.0, steps=24)
+    prompt = [5, 17, 320]
+    a = Generator(config, params, backend="xla").generate(prompt, gen)
+    b = Generator(config, params, backend="pallas").generate(prompt, gen)
+    assert a.tokens == b.tokens
