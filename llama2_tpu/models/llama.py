@@ -113,7 +113,7 @@ def _layer(
 _LAYER_KEYS = ("rms_att", "wq", "wk", "wv", "wo", "rms_ffn", "w1", "w2", "w3")
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "backend"))
+@partial(jax.jit, static_argnames=("config", "precision", "backend", "unroll"))
 def forward(
     params: dict,
     cache: dict,
@@ -122,6 +122,7 @@ def forward(
     config: ModelConfig,
     precision=jax.lax.Precision.HIGHEST,
     backend: str = "xla",
+    unroll: int = 1,
 ) -> tuple[jax.Array, dict]:
     """Run T tokens at positions ``pos..pos+T-1`` through all layers.
 
@@ -129,6 +130,11 @@ def forward(
     (B, T, D) already final-rmsnormed; project with
     :func:`logits_from_hidden`. The full forward incl. embedding lookup,
     N x (attention + FFN) via lax.scan, and final norm (main.zig:285-430).
+
+    ``unroll`` unrolls the layer scan: inside an outer dynamic loop (the
+    on-device decode loop) every scan trip has a fixed runtime cost, and for
+    small models that overhead dominates the layer math — full unroll was
+    measured ~1.6x faster end-to-end on stories15M on a v5e chip.
     """
     x = jnp.take(params["tok_emb"], tokens, axis=0)  # (B, T, D)
     x = x.astype(params["wq"].dtype)
@@ -147,7 +153,9 @@ def forward(
         )
         return x, (k_c, v_c)
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (layer_stack, cache["k"], cache["v"]))
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (layer_stack, cache["k"], cache["v"]), unroll=unroll
+    )
     x = ops.rmsnorm(x, params["rms_final"])
     return x, {"k": k_new, "v": v_new}
 

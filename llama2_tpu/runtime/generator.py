@@ -45,7 +45,7 @@ class GenerateResult:
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "mode", "backend"),
+    static_argnames=("config", "precision", "mode", "backend", "unroll"),
     donate_argnames=("cache",),
 )
 def _decode_loop(
@@ -62,6 +62,7 @@ def _decode_loop(
     precision,
     mode: int,
     backend: str,
+    unroll: int = 1,
 ):
     """On-device sampling loop from ``start_pos`` (its logits given).
 
@@ -70,6 +71,12 @@ def _decode_loop(
     position p+1. ``steps`` is a dynamic scalar (< config.seq_len buffer
     size), so changing ``-n`` never recompiles. Returns ``(out_buf, cache)``;
     out_buf is int32 (seq_len,) padded with -1.
+
+    The forward step runs UNconditionally (no ``lax.cond``): on the final
+    iteration its logits are never sampled (the loop exits first) and its KV
+    write lands at a position past the emitted sequence, which attention
+    masks out — while a cond around a multi-MB carried cache was measured to
+    cost ~140 us/iteration in branch-boundary copies on a v5e chip.
     """
     out_buf = jnp.full((config.seq_len,), -1, jnp.int32)
 
@@ -85,16 +92,15 @@ def _decode_loop(
         stop = nxt == BOS
         out_buf = jnp.where(stop, out_buf, out_buf.at[pos].set(nxt))
 
-        def step(cache):
-            hidden, cache = forward(
-                params, cache, nxt[None, None], pos + 1, config, precision, backend
-            )
-            return logits_from_hidden(params, hidden, precision, backend), cache
-
-        # Run the model only if the loop continues: avoids a wasted step and
-        # an out-of-range cache write at pos+1 == seq_len.
-        cont = jnp.logical_and(jnp.logical_not(stop), pos + 1 < steps)
-        logits, cache = jax.lax.cond(cont, step, lambda c: (logits, c), cache)
+        # Clamp the write position: at pos+1 == seq_len XLA would clamp the
+        # dynamic_update_slice anyway; doing it explicitly documents that the
+        # final trip may scribble one stale KV slot that is never attended.
+        write_pos = jnp.minimum(pos + 1, config.seq_len - 1)
+        hidden, cache = forward(
+            params, cache, nxt[None, None], write_pos, config, precision,
+            backend, unroll,
+        )
+        logits = logits_from_hidden(params, hidden, precision, backend)
         return pos + 1, logits, cache, out_buf, stop
 
     init = (start_pos, logits0, cache, out_buf, jnp.bool_(False))
@@ -112,11 +118,20 @@ class Generator:
         dtype=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
         backend: str = "xla",
+        layer_unroll: int | None = None,
     ):
         self.config = config
         self.dtype = jnp.dtype(dtype)
         self.precision = precision
         self.backend = backend
+        # Fully unroll the layer scan for small models (scan-trip overhead
+        # dominates there); keep the rolled scan for deep models where the
+        # layer math amortizes it and full unroll would bloat compile time.
+        self.layer_unroll = (
+            layer_unroll
+            if layer_unroll is not None
+            else (config.n_layers if config.n_layers <= 8 else 1)
+        )
         # flash decode kernel needs the cache head dim on whole 128-lane tiles
         self.lane_pad = backend == "pallas" and config.head_size % 128 != 0
         self.params = jax.tree.map(
@@ -136,6 +151,7 @@ class Generator:
             self.config,
             self.precision,
             self.backend,
+            self.layer_unroll,
         )
         logits = logits_from_hidden(
             self.params, hidden[:, -1:, :], self.precision, self.backend
@@ -201,6 +217,7 @@ class Generator:
             precision=self.precision,
             mode=mode,
             backend=self.backend,
+            unroll=self.layer_unroll,
         )
         out = np.asarray(out_buf)
         t1 = time.perf_counter()
