@@ -29,9 +29,18 @@ def test_quant_matmul_vs_oracle(M, K, N, G):
     x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
     w = rng.standard_normal((K, N)).astype(np.float32)
     t = quantize(w, G)
-    got = np.asarray(quant_matmul(x, t, interpret=True))
     want = np.asarray(x @ dequantize(t))
+
+    # accurate mode: bit-faithful to the f32 dequant oracle
+    got = np.asarray(quant_matmul(x, t, interpret=True, mode="accurate"))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # fast mode (default): bf16-level activation rounding, f32 accumulate —
+    # error must stay well under the Q8 quantization noise itself
+    fast = np.asarray(quant_matmul(x, t, interpret=True))
+    scale = np.abs(want).mean() + 1e-6
+    assert np.abs(fast - want).max() / scale < 3e-2
+    assert np.abs(fast - want).mean() / scale < 5e-3
 
 
 def test_quant_matmul_batched_lead_dims():
@@ -39,7 +48,7 @@ def test_quant_matmul_batched_lead_dims():
     x = jnp.asarray(rng.standard_normal((2, 3, 128)).astype(np.float32))
     w = rng.standard_normal((128, 256)).astype(np.float32)
     t = quantize(w, 64)
-    got = np.asarray(quant_matmul(x, t, interpret=True))
+    got = np.asarray(quant_matmul(x, t, interpret=True, mode="accurate"))
     want = np.asarray(x @ dequantize(t))
     assert got.shape == (2, 3, 256)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
@@ -154,7 +163,13 @@ def test_model_forward_pallas_backend_matches_xla(tiny_checkpoint):
         qp, init_cache(config, lane_pad=True), tok, 0, config, backend="pallas"
     )
     lp = np.asarray(logits_from_hidden(qp, h_p, backend="pallas"))
-    np.testing.assert_allclose(lp, lx, rtol=1e-4, atol=1e-4)
+    # fast-mode quant matmul rounds activations to bf16 (see quant_matmul
+    # docstring): logits agree to bf16 noise, and the decision (argmax)
+    # must be identical on this fixture.
+    # per-layer bf16 rounding compounds through the stack: allow ~1% mean
+    scale = np.abs(lx).mean()
+    assert np.abs(lp - lx).max() / scale < 5e-2
+    assert np.abs(lp - lx).mean() / scale < 1.5e-2
     assert np.argmax(lp) == np.argmax(lx)
 
 
