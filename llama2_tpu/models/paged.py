@@ -1,0 +1,115 @@
+"""Decode forward step over a paged KV cache.
+
+The paged counterpart of :func:`llama2_tpu.models.llama.forward` for T=1
+decode: instead of a dense per-slot cache, K/V live in per-layer page pools
+(``runtime/paged_cache.py``) and each batch row reaches its pages through an
+int32 page table. The layer loop is the same ``lax.scan`` — the pools' leading
+layer dim scans exactly like the dense cache's.
+
+Per layer: project q/k/v for the B current tokens, scatter the new K/V rows
+into each row's (page, row) slot (host-precomputed from pos — allocation is
+host-side bookkeeping), then attend through the table with the paged flash
+kernel (``backend="pallas"``) or its gather oracle (``backend="xla"``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from llama2_tpu.config import ModelConfig
+from llama2_tpu.models.llama import _LAYER_KEYS
+from llama2_tpu.ops import xla as ops
+from llama2_tpu.ops.linear import linear
+
+
+def _scatter_rows(pool_l, rows, page_ids, row_ids):
+    """pool_l (P, KVH, page, hs) <- rows (B, KVH, hs) at per-row coords."""
+
+    def per_slot(pool, b):
+        upd = rows[b][None, :, None, :]  # (1, KVH, 1, hs)
+        return jax.lax.dynamic_update_slice(
+            pool, upd.astype(pool.dtype), (page_ids[b], 0, row_ids[b], 0)
+        ), None
+
+    pool_l, _ = jax.lax.scan(per_slot, pool_l, jnp.arange(rows.shape[0]))
+    return pool_l
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend", "unroll"),
+    donate_argnames=("k_pool", "v_pool"),
+)
+def paged_forward_step(
+    params: dict,
+    k_pool: jax.Array,  # (L, P, KVH, page, hs)
+    v_pool: jax.Array,
+    table: jax.Array,  # (B, max_pages) int32
+    tokens: jax.Array,  # (B,) int32
+    pos: jax.Array,  # (B,) int32 position of `tokens`
+    page_ids: jax.Array,  # (B,) physical page holding position `pos`
+    row_ids: jax.Array,  # (B,) row within that page
+    config: ModelConfig,
+    precision=jax.lax.Precision.HIGHEST,
+    backend: str = "xla",
+    unroll: int = 1,
+):
+    """One batched decode step; returns (hidden, k_pool, v_pool)."""
+    B = tokens.shape[0]
+    H, KVH, hs_real = config.n_heads, config.n_kv_heads, config.head_size
+    hs_c = k_pool.shape[-1]  # possibly lane-padded
+
+    x = jnp.take(params["tok_emb"], tokens, axis=0)[:, None, :]  # (B, 1, D)
+    x = x.astype(params["wq"].dtype)
+    positions = pos[:, None]
+    cos, sin = ops.rope_angles(positions, hs_real)
+    layer_stack = {k: params[k] for k in _LAYER_KEYS}
+
+    def body(x, xs):
+        lp, k_pool_l, v_pool_l = xs
+        xb = ops.rmsnorm(x, lp["rms_att"])
+        q = linear(xb, lp["wq"], precision, backend).reshape(B, 1, H, hs_real)
+        k = linear(xb, lp["wk"], precision, backend).reshape(B, 1, KVH, hs_real)
+        v = linear(xb, lp["wv"], precision, backend).reshape(B, 1, KVH, hs_real)
+        q = ops.apply_rope(q, cos, sin)
+        k = ops.apply_rope(k, cos, sin)
+        if hs_c != hs_real:
+            pad = [(0, 0)] * 3 + [(0, hs_c - hs_real)]
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+        k_pool_l = _scatter_rows(k_pool_l, k[:, 0], page_ids, row_ids)
+        v_pool_l = _scatter_rows(v_pool_l, v[:, 0], page_ids, row_ids)
+
+        scale = 1.0 / (hs_real**0.5)
+        if backend == "pallas":
+            from llama2_tpu.ops.pallas.paged_attention import (
+                paged_decode_attention,
+            )
+
+            att = paged_decode_attention(
+                q, k_pool_l, v_pool_l, table, pos, scale=scale
+            )
+        else:
+            from llama2_tpu.ops.pallas.paged_attention import (
+                paged_attention_oracle,
+            )
+
+            att = paged_attention_oracle(
+                q, k_pool_l, v_pool_l, table, pos, scale=scale
+            )
+        att = att[..., :hs_real].reshape(B, 1, config.dim)
+        x = x + linear(att, lp["wo"], precision, backend)
+        xb = ops.rmsnorm(x, lp["rms_ffn"])
+        h1 = linear(xb, lp["w1"], precision, backend)
+        h3 = linear(xb, lp["w3"], precision, backend)
+        x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend)
+        return x, (k_pool_l, v_pool_l)
+
+    x, (k_pool, v_pool) = jax.lax.scan(
+        body, x, (layer_stack, k_pool, v_pool), unroll=unroll
+    )
+    x = ops.rmsnorm(x, params["rms_final"])
+    return x, k_pool, v_pool

@@ -1,0 +1,144 @@
+"""Paged KV cache: device page pools + host page allocator.
+
+The serving-grade replacement for per-slot dense caches (the reference
+preallocates `seq_len` per request, main.zig:151-152): K and V live in
+per-layer page pools of ``(n_pages, KVH, page_size, hs)`` and every request
+holds only the pages its current length needs. The allocator is plain host
+bookkeeping (a free list — allocation happens at admission/retirement rate,
+thousands of times slower than decode ticks); the device side sees only
+int32 page tables, consumed by
+:func:`llama2_tpu.ops.pallas.paged_attention.paged_decode_attention` or the
+XLA gather fallback.
+
+Writes go through ``write_segment`` (prefill: scatter T rows over the pages
+they land in) and ``append`` (decode: one row per active slot per tick, a
+batched scatter at (page_id, row) coordinates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama2_tpu.config import ModelConfig
+
+
+class OutOfPages(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class PagePool:
+    """Device pools (one per layer stacked on dim 0) + host free list."""
+
+    k: jax.Array  # (L, P, KVH, page, hs)
+    v: jax.Array
+    page_size: int
+    free: list[int]
+
+    @classmethod
+    def create(
+        cls,
+        config: ModelConfig,
+        n_pages: int,
+        page_size: int = 256,
+        dtype=jnp.float32,
+        lane_pad: bool = False,
+    ) -> "PagePool":
+        hs = config.head_size
+        if lane_pad:
+            hs = ((hs + 127) // 128) * 128
+        shape = (config.n_layers, n_pages, config.n_kv_heads, page_size, hs)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            page_size=page_size,
+            free=list(range(n_pages - 1, -1, -1)),
+        )
+
+    @property
+    def n_pages(self) -> int:
+        return self.k.shape[1]
+
+    def alloc(self, n: int) -> list[int]:
+        if len(self.free) < n:
+            raise OutOfPages(f"need {n} pages, {len(self.free)} free")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages: list[int]) -> None:
+        self.free.extend(pages)
+
+    def pages_for(self, n_tokens: int) -> int:
+        return max(1, -(-n_tokens // self.page_size))
+
+
+@jax.jit
+def _write_rows(pool, rows, page_ids, row_ids):
+    """Scatter rows (L, R, KVH, hs) into pool at (page_ids[r], row_ids[r])."""
+
+    def per_row(pool, r):
+        row = jax.lax.dynamic_index_in_dim(rows, r, 1, keepdims=False)  # (L,KVH,hs)
+        upd = row[:, None, :, None, :]  # (L, 1, KVH, 1, hs)
+        return jax.lax.dynamic_update_slice(
+            pool, upd.astype(pool.dtype), (0, page_ids[r], 0, row_ids[r], 0)
+        ), None
+
+    pool, _ = jax.lax.scan(per_row, pool, jnp.arange(rows.shape[1]))
+    return pool
+
+
+def write_segment(
+    pool: PagePool,
+    k_rows: jax.Array,  # (L, T, KVH, hs) new keys for positions pos0..pos0+T-1
+    v_rows: jax.Array,
+    table: np.ndarray,  # this slot's page table (host int32, logical order)
+    pos0: int,
+) -> PagePool:
+    """Write a prefilled segment's KV rows through the slot's page table."""
+    T = k_rows.shape[1]
+    logical = np.arange(pos0, pos0 + T)
+    page_ids = jnp.asarray(table[logical // pool.page_size], jnp.int32)
+    row_ids = jnp.asarray(logical % pool.page_size, jnp.int32)
+    return dataclasses.replace(
+        pool,
+        k=_write_rows(pool.k, k_rows, page_ids, row_ids),
+        v=_write_rows(pool.v, v_rows, page_ids, row_ids),
+    )
+
+
+@jax.jit
+def _append_rows(pool, rows, page_ids, row_ids, active):
+    """Batched decode append: rows (L, B, KVH, hs) at per-slot coordinates.
+
+    Inactive slots write to their own frozen (page, row) — same address every
+    tick, harmless garbage a future tenant overwrites (the batch engine's
+    established contract for inactive slots).
+    """
+
+    def per_slot(pool, b):
+        row = jax.lax.dynamic_index_in_dim(rows, b, 1, keepdims=False)
+        upd = row[:, None, :, None, :]
+        return jax.lax.dynamic_update_slice(
+            pool, upd.astype(pool.dtype), (0, page_ids[b], 0, row_ids[b], 0)
+        ), None
+
+    pool, _ = jax.lax.scan(per_slot, pool, jnp.arange(rows.shape[1]))
+    return pool
+
+
+def append(
+    pool: PagePool,
+    k_rows: jax.Array,  # (L, B, KVH, hs) one new row per slot
+    v_rows: jax.Array,
+    page_ids: jax.Array,  # (B,) physical page per slot (precomputed on host)
+    row_ids: jax.Array,  # (B,) row within page
+    active: jax.Array | None = None,
+) -> PagePool:
+    return dataclasses.replace(
+        pool,
+        k=_append_rows(pool.k, k_rows, page_ids, row_ids, active),
+        v=_append_rows(pool.v, v_rows, page_ids, row_ids, active),
+    )

@@ -12,7 +12,12 @@ Endpoints:
   GET  /metrics   → request/token counters + TTFT percentiles
 
 Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
-          [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8]
+          [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8] \
+          [--paged [--page-size 256] [--pages N]]
+
+``--paged`` switches the KV cache to the paged layout
+(runtime/paged_engine.py): memory scales with tokens in flight instead of
+batch_size * seq_len.
 """
 
 from __future__ import annotations
@@ -142,6 +147,9 @@ def main(argv=None):
     quant = "none"
     dtype = "f32"
     platform = None
+    paged = False
+    page_size = 256
+    n_pages = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -166,6 +174,14 @@ def main(argv=None):
         elif a == "--platform":
             i += 1
             platform = argv[i]
+        elif a == "--paged":
+            paged = True
+        elif a == "--page-size":
+            i += 1
+            page_size = int(argv[i])
+        elif a == "--pages":
+            i += 1
+            n_pages = int(argv[i])
         elif not a.startswith("-") and path is None:
             path = a
         else:
@@ -192,12 +208,24 @@ def main(argv=None):
         from llama2_tpu.quant.q8 import quantize_params
 
         params = quantize_params(params)
-    engine = BatchEngine(
-        config,
-        params,
-        batch_size=batch,
-        dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
-    )
+    if paged:
+        from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+        engine = PagedBatchEngine(
+            config,
+            params,
+            batch_size=batch,
+            page_size=page_size,
+            n_pages=n_pages,
+            dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+        )
+    else:
+        engine = BatchEngine(
+            config,
+            params,
+            batch_size=batch,
+            dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+        )
     serve(engine, tokenizer, host, port)
     return 0
 

@@ -1,0 +1,141 @@
+"""Paged KV cache: kernel-vs-oracle, pool allocator, write paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import tiny_config
+
+from llama2_tpu.ops import xla as ops
+from llama2_tpu.ops.pallas.paged_attention import (
+    paged_attention_oracle,
+    paged_decode_attention,
+)
+from llama2_tpu.runtime.paged_cache import (
+    OutOfPages,
+    PagePool,
+    append,
+    write_segment,
+)
+
+
+def _pools(P=6, KVH=2, page=16, hs=32, seed=0):
+    rng = np.random.default_rng(seed)
+    k = jnp.asarray(rng.standard_normal((P, KVH, page, hs), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((P, KVH, page, hs), dtype=np.float32))
+    return k, v
+
+
+@pytest.mark.parametrize("pos", [0, 5, 16, 31, 47])
+@pytest.mark.parametrize("gqa", [False, True])
+def test_paged_attention_matches_dense(pos, gqa):
+    """Pages in scrambled physical order == dense cache attention."""
+    P, KVH, page, hs = 6, 2, 16, 32
+    H = 4 if gqa else KVH
+    B = 2
+    rng = np.random.default_rng(pos * 10 + gqa)
+    k_pool, v_pool = _pools(P, KVH, page, hs, seed=pos)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hs), dtype=np.float32))
+
+    # scrambled physical pages per row
+    tables = np.stack([
+        rng.permutation(P)[: P // 2 + 1] for _ in range(B)
+    ]).astype(np.int32)
+    table = jnp.asarray(tables)
+    positions = jnp.asarray([pos, max(0, pos - 3)], jnp.int32)
+
+    got = paged_decode_attention(q, k_pool, v_pool, table, positions)
+
+    # dense oracle: gather each row's pages into a contiguous cache
+    want = paged_attention_oracle(q, k_pool, v_pool, table, positions)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pool_alloc_release_exhaustion():
+    config = tiny_config()
+    pool = PagePool.create(config, n_pages=4, page_size=8)
+    a = pool.alloc(3)
+    assert len(set(a)) == 3
+    with pytest.raises(OutOfPages):
+        pool.alloc(2)
+    pool.release(a[:2])
+    b = pool.alloc(3)
+    assert len(set(b)) == 3
+    assert pool.pages_for(1) == 1 and pool.pages_for(8) == 1
+    assert pool.pages_for(9) == 2 and pool.pages_for(0) == 1
+
+
+def test_write_segment_then_paged_attention_matches_dense_cache():
+    """Prefill KV through pages == the dense cache path, end to end."""
+    config = tiny_config()
+    L, KVH, hs = config.n_layers, config.n_kv_heads, config.head_size
+    page = 8
+    T = 19  # spans 3 pages
+    rng = np.random.default_rng(3)
+
+    pool = PagePool.create(config, n_pages=5, page_size=page)
+    table = np.asarray(pool.alloc(pool.pages_for(T)), np.int32)
+    assert len(table) == 3
+
+    k_rows = jnp.asarray(rng.standard_normal((L, T, KVH, hs), dtype=np.float32))
+    v_rows = jnp.asarray(rng.standard_normal((L, T, KVH, hs), dtype=np.float32))
+    pool = write_segment(pool, k_rows, v_rows, table, 0)
+
+    q = jnp.asarray(
+        rng.standard_normal((1, 1, config.n_heads, hs), dtype=np.float32)
+    )
+    l = 1  # check one layer's plane
+    got = paged_decode_attention(
+        q,
+        pool.k[l],
+        pool.v[l],
+        jnp.asarray(table[None, :]),
+        jnp.asarray([T - 1], jnp.int32),
+    )
+
+    # dense reference
+    S = 3 * page
+    k_dense = jnp.zeros((1, KVH, S, hs)).at[0, :, :T].set(
+        k_rows[l].transpose(1, 0, 2)
+    )
+    v_dense = jnp.zeros((1, KVH, S, hs)).at[0, :, :T].set(
+        v_rows[l].transpose(1, 0, 2)
+    )
+    want = ops.attention(q, k_dense, v_dense, T - 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_append_decode_rows():
+    """Decode appends land at (page, row) and update attention results."""
+    config = tiny_config()
+    L, KVH, hs = config.n_layers, config.n_kv_heads, config.head_size
+    page = 8
+    pool = PagePool.create(config, n_pages=4, page_size=page)
+    rng = np.random.default_rng(7)
+
+    # two slots at positions 7 (page 0 full -> next lands in page 1) and 2
+    tables = np.asarray([[0, 1], [2, 2]], np.int32)
+    positions = np.asarray([7, 2])
+
+    # fill existing rows
+    for b in range(2):
+        T = positions[b]
+        if T:
+            rows_k = jnp.asarray(rng.standard_normal((L, T, KVH, hs), dtype=np.float32))
+            rows_v = jnp.asarray(rng.standard_normal((L, T, KVH, hs), dtype=np.float32))
+            pool = write_segment(pool, rows_k, rows_v, tables[b], 0)
+
+    k_new = jnp.asarray(rng.standard_normal((L, 2, KVH, hs), dtype=np.float32))
+    v_new = jnp.asarray(rng.standard_normal((L, 2, KVH, hs), dtype=np.float32))
+    page_ids = jnp.asarray(tables[np.arange(2), positions // page], jnp.int32)
+    row_ids = jnp.asarray(positions % page, jnp.int32)
+    pool = append(pool, k_new, v_new, page_ids, row_ids)
+
+    # the new rows are now readable at their logical position
+    for b in range(2):
+        l = 0
+        pg, row = int(page_ids[b]), int(row_ids[b])
+        np.testing.assert_allclose(
+            np.asarray(pool.k[l, pg, :, row]), np.asarray(k_new[l, b]), atol=0
+        )

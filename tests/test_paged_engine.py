@@ -1,0 +1,79 @@
+"""Paged continuous batching: token-identical to the dense engine, page
+accounting under reuse, graceful behavior under memory pressure."""
+
+import numpy as np
+import pytest
+
+from llama2_tpu.config import GenerationConfig
+from llama2_tpu.io.checkpoint import load_checkpoint
+from llama2_tpu.runtime.generator import Generator
+from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_checkpoint):
+    path, config, _ = tiny_checkpoint
+    _, params, _ = load_checkpoint(path)
+    ref = Generator(config, params)
+    return config, params, ref
+
+
+def test_paged_equals_single_stream(setup):
+    config, params, ref = setup
+    prompts = [[5, 17], [], [320, 9, 44], [7], [250, 4, 99, 2, 18]]
+    gen = GenerationConfig(temperature=0.0, steps=24)
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = PagedBatchEngine(config, params, batch_size=3, page_size=8, n_pages=24)
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for p, want, q in zip(prompts, expected, queues):
+        got = q.get(timeout=60)
+        assert got.tokens == want, f"prompt {p}: {got.tokens} != {want}"
+
+
+def test_pages_released_on_retire(setup):
+    config, params, _ = setup
+    eng = PagedBatchEngine(config, params, batch_size=2, page_size=8, n_pages=16)
+    free0 = len(eng.pool.free)
+    gen = GenerationConfig(temperature=0.0, steps=10)
+    queues = [eng.submit([i + 3], gen) for i in range(5)]
+    eng.run_until_idle()
+    for q in queues:
+        q.get(timeout=60)
+    assert len(eng.pool.free) == free0  # every page returned
+    assert all(not p for p in eng._slot_pages)
+
+
+def test_page_boundary_growth(setup):
+    """Generation crossing page boundaries allocates and uses new pages."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=20)  # > 2 pages of 8
+    want = ref.generate([9], gen).tokens
+    eng = PagedBatchEngine(config, params, batch_size=1, page_size=8, n_pages=8)
+    q = eng.submit([9], gen)
+    eng.run_until_idle()
+    assert q.get(timeout=60).tokens == want
+
+
+def test_memory_pressure_requeues_admission(setup):
+    """With pages for ~one request, requests are served one after another."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    prompts = [[4, 8, 15], [16, 23], [42]]
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    # 5 usable pages of 8 rows: enough for one 12-step request + spare only
+    eng = PagedBatchEngine(config, params, batch_size=3, page_size=8, n_pages=6)
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle(max_ticks=2000)
+    for want, q in zip(expected, queues):
+        assert q.get(timeout=60).tokens == want
+
+
+def test_scratch_page_never_allocated(setup):
+    config, params, _ = setup
+    eng = PagedBatchEngine(config, params, batch_size=2, page_size=8, n_pages=8)
+    assert 0 not in eng.pool.free
+    got = eng.pool.alloc(len(eng.pool.free))
+    assert 0 not in got
