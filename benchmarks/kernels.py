@@ -5,10 +5,12 @@ softmax.zig, sample.zig, SURVEY.md section 2.14); ours time each Pallas
 kernel against its XLA oracle and report us/op, achieved GB/s and % of the
 v5e HBM roofline (819 GB/s).
 
-Measurement rule for this environment (learned the hard way — see
-ops/pallas/quant_matmul.py history): per-dispatch tunnel latency is ~400us
-and jit-constant operands get re-staged per call, so every timing loop runs
-INSIDE one jitted program with all operands loop-carried.
+Measurement rules for this environment (learned the hard way): any host
+fetch costs a fixed ~25-30 ms tunnel round trip (calibrated out via _rtt)
+and ``block_until_ready`` does not block on this transport, so every timing
+loop runs INSIDE one jitted program with a sequential dependency threaded
+through the carry (or XLA hoists the loop-invariant computation), and sync
+is a host fetch of a scalar reduction.
 
     python benchmarks/kernels.py [rmsnorm|swiglu|quant_matmul|attention|sample|all]
 """

@@ -1,0 +1,95 @@
+"""Continuous-batching serving benchmark: throughput + TTFT percentiles.
+
+BASELINE config 4's metric (p50 TTFT under continuous batching; the reference
+has no serving mode at all). Drives the BatchEngine (dense or --paged) with a
+synthetic open-loop workload of mixed-length prompts and reports aggregate
+decode throughput, per-request latency and TTFT percentiles.
+
+    python benchmarks/serving.py [--paged] [--batch-size 8] [--requests 32]
+                                 [--steps 48] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=48)
+    ap.add_argument("--page-size", type=int, default=256)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from __graft_entry__ import _flagship
+
+    from llama2_tpu.config import GenerationConfig
+
+    config, params = _flagship()
+    rng = np.random.default_rng(args.seed)
+
+    if args.paged:
+        from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+        eng = PagedBatchEngine(
+            config, params, batch_size=args.batch_size,
+            page_size=min(args.page_size, config.seq_len),
+        )
+    else:
+        from llama2_tpu.runtime.batch_engine import BatchEngine
+
+        eng = BatchEngine(config, params, batch_size=args.batch_size)
+
+    # mixed-length prompts (tokens drawn uniformly; BOS excluded); prompt
+    # must be shorter than steps or the request degenerates to a pure echo
+    max_prompt = max(2, min(33, args.steps // 2))
+    prompts = [
+        rng.integers(2, config.vocab_size, rng.integers(1, max_prompt)).tolist()
+        for _ in range(args.requests)
+    ]
+    gen = GenerationConfig(temperature=0.0, steps=args.steps, seed=0)
+
+    # warmup: compile prefill chunks + tick (run_until_idle drives the
+    # engine synchronously; generate() alone would wait on a driver thread)
+    wq = eng.submit(prompts[0], GenerationConfig(temperature=0.0, steps=4, seed=0))
+    eng.run_until_idle()
+    wq.get(timeout=600)
+
+    t0 = time.perf_counter()
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    results = [q.get(timeout=600) for q in queues]
+    wall = time.perf_counter() - t0
+
+    total_tokens = sum(len(r.tokens) for r in results)
+    lat = sorted(r.total_s for r in results)
+    ttft = eng.ttft_percentiles()
+    mode = "paged" if args.paged else "dense"
+    print(
+        f"serving[{mode}] batch={args.batch_size} requests={args.requests}: "
+        f"{total_tokens / wall:8.1f} tok/s aggregate | "
+        f"req p50 {lat[len(lat) // 2] * 1e3:7.1f} ms "
+        f"p95 {lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3:7.1f} ms | "
+        f"TTFT p50 {(ttft['p50'] or 0) * 1e3:6.1f} ms "
+        f"p95 {(ttft['p95'] or 0) * 1e3:6.1f} ms"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,16 +54,31 @@ def _layer(
     config: ModelConfig,
     precision,
     backend: str,
+    layer_idx=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """One decoder layer over a (B, T, D) segment starting at ``pos``."""
+    """One decoder layer over a (B, T, D) segment starting at ``pos``.
+
+    ``layer_idx``: set when quantized weights arrive layer-STACKED (the scan
+    passes the whole stack + index so the pallas kernel reads tiles in place
+    — see ops/linear.py).
+    """
     B, T, D = x.shape
     H, KVH, hs = config.n_heads, config.n_kv_heads, config.head_size
 
     # attention block
     xb = ops.rmsnorm(x, layer_params["rms_att"])
-    q = linear(xb, layer_params["wq"], precision, backend).reshape(B, T, H, hs)
-    k = linear(xb, layer_params["wk"], precision, backend).reshape(B, T, KVH, hs)
-    v = linear(xb, layer_params["wv"], precision, backend).reshape(B, T, KVH, hs)
+    if "wqkv" in layer_params:
+        # fused QKV (the reference's matmul_fused(3, ...) analog,
+        # main.zig:308-320): one kernel launch, one read of xb
+        kv = KVH * hs
+        qkv = linear(xb, layer_params["wqkv"], precision, backend, layer_idx)
+        q = qkv[..., :D].reshape(B, T, H, hs)
+        k = qkv[..., D : D + kv].reshape(B, T, KVH, hs)
+        v = qkv[..., D + kv :].reshape(B, T, KVH, hs)
+    else:
+        q = linear(xb, layer_params["wq"], precision, backend, layer_idx).reshape(B, T, H, hs)
+        k = linear(xb, layer_params["wk"], precision, backend, layer_idx).reshape(B, T, KVH, hs)
+        v = linear(xb, layer_params["wv"], precision, backend, layer_idx).reshape(B, T, KVH, hs)
 
     q = ops.apply_rope(q, cos, sin)
     k = ops.apply_rope(k, cos, sin)
@@ -100,17 +115,58 @@ def _layer(
     else:
         att = ops.attention(q, k_cache, v_cache, pos, precision=precision, scale=scale)
     att = att[..., :hs].reshape(B, T, D)
-    x = x + linear(att, layer_params["wo"], precision, backend)
+    x = x + linear(att, layer_params["wo"], precision, backend, layer_idx)
 
     # FFN block
     xb = ops.rmsnorm(x, layer_params["rms_ffn"])
-    h1 = linear(xb, layer_params["w1"], precision, backend)
-    h3 = linear(xb, layer_params["w3"], precision, backend)
-    x = x + linear(ops.swiglu(h1, h3), layer_params["w2"], precision, backend)
+    if "w13" in layer_params:
+        # fused gate+up (matmul_fused(2, {w1,w3}) analog, main.zig:405-408)
+        HD = layer_params["w13"].shape[-1] // 2
+        h13 = linear(xb, layer_params["w13"], precision, backend, layer_idx)
+        h1, h3 = h13[..., :HD], h13[..., HD:]
+    else:
+        h1 = linear(xb, layer_params["w1"], precision, backend, layer_idx)
+        h3 = linear(xb, layer_params["w3"], precision, backend, layer_idx)
+    x = x + linear(
+        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, layer_idx
+    )
     return x, k_cache, v_cache
 
 
 _LAYER_KEYS = ("rms_att", "wq", "wk", "wv", "wo", "rms_ffn", "w1", "w2", "w3")
+_LAYER_KEYS_FUSED = ("rms_att", "wqkv", "wo", "rms_ffn", "w13", "w2")
+
+
+def fuse_layer_params(params: dict) -> dict:
+    """Concatenate QKV and W1/W3 along out-features: wqkv (L, D, D+2*KV) and
+    w13 (L, D, 2*HD).
+
+    The kernel-launch analog of the reference's ``matmul_fused`` (one read of
+    x across co-located matvecs, main.zig:530-605): at decode each
+    pallas/matmul invocation has a fixed launch cost, so 7 weight-applying
+    calls per layer become 4. Works for fp arrays and QuantTensors (same K
+    and group size by construction). Done once at engine init — the param
+    tree on disk / in sharding specs keeps the 9-key layout.
+    """
+    import jax.numpy as _jnp
+
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    def cat(*ws):
+        if isinstance(ws[0], QuantTensor):
+            assert len({w.group_size for w in ws}) == 1
+            return QuantTensor(
+                q=_jnp.concatenate([w.q for w in ws], axis=-1),
+                scale=_jnp.concatenate([w.scale for w in ws], axis=-1),
+                group_size=ws[0].group_size,
+            )
+        return _jnp.concatenate(ws, axis=-1)
+
+    out = {k: v for k, v in params.items()
+           if k not in ("wq", "wk", "wv", "w1", "w3")}
+    out["wqkv"] = cat(params["wq"], params["wk"], params["wv"])
+    out["w13"] = cat(params["w1"], params["w3"])
+    return out
 
 
 @partial(jax.jit, static_argnames=("config", "precision", "backend", "unroll"))
@@ -137,24 +193,36 @@ def forward(
     measured ~1.6x faster end-to-end on stories15M on a v5e chip.
     """
     x = jnp.take(params["tok_emb"], tokens, axis=0)  # (B, T, D)
-    x = x.astype(params["wq"].dtype)
+    x = x.astype(params.get("wq", params.get("wqkv")).dtype)
     pos = jnp.asarray(pos, jnp.int32)  # scalar or per-row (B,)
     positions = pos[..., None] + jnp.arange(tokens.shape[1], dtype=jnp.int32)
     positions = positions.reshape(*pos.shape, tokens.shape[1])
     cos, sin = ops.rope_angles(positions, config.head_size)  # (.., T, hs/2)
 
-    layer_stack = {k: params[k] for k in _LAYER_KEYS}
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    # Quantized weights stay layer-STACKED outside the scan: the pallas
+    # kernel indexes the layer itself (scalar-prefetch index_map), avoiding
+    # a materialized weight-slice copy per scan trip (ops/linear.py).
+    keys = _LAYER_KEYS_FUSED if "wqkv" in params else _LAYER_KEYS
+    stacked = {
+        k: params[k] for k in keys if isinstance(params[k], QuantTensor)
+    }
+    layer_stack = {k: params[k] for k in keys if k not in stacked}
 
     def body(carry, xs):
         x = carry
-        layer_params, k_c, v_c = xs
+        idx, layer_params, k_c, v_c = xs
+        lp = {**layer_params, **stacked}
         x, k_c, v_c = _layer(
-            x, layer_params, k_c, v_c, pos, cos, sin, config, precision, backend
+            x, lp, k_c, v_c, pos, cos, sin, config, precision, backend,
+            idx if stacked else None,
         )
         return x, (k_c, v_c)
 
+    idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
     x, (k_new, v_new) = jax.lax.scan(
-        body, x, (layer_stack, cache["k"], cache["v"]), unroll=unroll
+        body, x, (idxs, layer_stack, cache["k"], cache["v"]), unroll=unroll
     )
     x = ops.rmsnorm(x, params["rms_final"])
     return x, {"k": k_new, "v": v_new}

@@ -62,18 +62,26 @@ def paged_forward_step(
     H, KVH, hs_real = config.n_heads, config.n_kv_heads, config.head_size
     hs_c = k_pool.shape[-1]  # possibly lane-padded
 
+    from llama2_tpu.quant.q8 import QuantTensor
+
     x = jnp.take(params["tok_emb"], tokens, axis=0)[:, None, :]  # (B, 1, D)
-    x = x.astype(params["wq"].dtype)
+    x = x.astype(params["wq"].dtype)  # QuantTensor.dtype == its dequant dtype
     positions = pos[:, None]
     cos, sin = ops.rope_angles(positions, hs_real)
-    layer_stack = {k: params[k] for k in _LAYER_KEYS}
+    # quantized weights stay stacked; kernel indexes the layer (ops/linear.py)
+    stacked = {
+        k: params[k] for k in _LAYER_KEYS if isinstance(params[k], QuantTensor)
+    }
+    layer_stack = {k: params[k] for k in _LAYER_KEYS if k not in stacked}
 
     def body(x, xs):
-        lp, k_pool_l, v_pool_l = xs
+        idx, sliced, k_pool_l, v_pool_l = xs
+        lp = {**sliced, **stacked}
+        li = idx if stacked else None
         xb = ops.rmsnorm(x, lp["rms_att"])
-        q = linear(xb, lp["wq"], precision, backend).reshape(B, 1, H, hs_real)
-        k = linear(xb, lp["wk"], precision, backend).reshape(B, 1, KVH, hs_real)
-        v = linear(xb, lp["wv"], precision, backend).reshape(B, 1, KVH, hs_real)
+        q = linear(xb, lp["wq"], precision, backend, li).reshape(B, 1, H, hs_real)
+        k = linear(xb, lp["wk"], precision, backend, li).reshape(B, 1, KVH, hs_real)
+        v = linear(xb, lp["wv"], precision, backend, li).reshape(B, 1, KVH, hs_real)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
         if hs_c != hs_real:
@@ -108,8 +116,9 @@ def paged_forward_step(
         x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend)
         return x, (k_pool_l, v_pool_l)
 
+    idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
     x, (k_pool, v_pool) = jax.lax.scan(
-        body, x, (layer_stack, k_pool, v_pool), unroll=unroll
+        body, x, (idxs, layer_stack, k_pool, v_pool), unroll=unroll
     )
     x = ops.rmsnorm(x, params["rms_final"])
     return x, k_pool, v_pool

@@ -26,9 +26,26 @@ def linear(
     w,
     precision=jax.lax.Precision.HIGHEST,
     backend: str = "xla",
+    layer=None,
 ) -> jax.Array:
-    """``x (..., in) @ w (in, out)``; ``w`` may be fp Array or QuantTensor."""
+    """``x (..., in) @ w (in, out)``; ``w`` may be fp Array or QuantTensor.
+
+    ``layer``: when ``w`` is a layer-STACKED (3D) QuantTensor, selects the
+    layer inside the kernel — the layer scan passes the whole stack plus its
+    index so the pallas kernel DMAs tiles straight from HBM instead of
+    forcing XLA to materialize a sliced copy per trip (measured ~2x
+    end-to-end on a 22-layer INT8 model).
+    """
     if isinstance(w, QuantTensor):
+        if w.q.ndim == 3 and layer is not None:
+            if backend == "pallas":
+                from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+                return quant_matmul_stacked(x, w, layer)
+            wl = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, False), w
+            )
+            return jnp.dot(x, dequantize(wl, x.dtype), precision=precision)
         if backend == "pallas":
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul
 

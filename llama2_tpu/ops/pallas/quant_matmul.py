@@ -30,77 +30,82 @@ from llama2_tpu.ops.pallas.common import cdiv, interpret_default, round_up
 from llama2_tpu.quant.q8 import QuantTensor
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, group_size: int, k_steps: int):
-    """Accurate mode: f32 dequant on the VPU, HIGHEST-precision f32 dot."""
-    k = pl.program_id(2)
+def _accum_accurate(x, w, s, acc, group_size: int):
+    """f32 dequant on the VPU, HIGHEST-precision f32 dot.
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # dequant: broadcast each group's scale over its group_size rows
-    w = w_ref[:].astype(jnp.float32)  # (bk, bn) int8 -> f32
-    scale = s_ref[:]  # (bk // G, bn)
-    # jnp.repeat = element-wise repeat (each group's scale over its G rows);
-    # NOT pltpu.repeat, which tiles the whole array.
-    wf = w * jnp.repeat(scale, group_size, axis=0)
-    # HIGHEST: Mosaic otherwise lowers f32xf32 as one bf16 MXU pass (~2e-3
-    # rel err, on top of the Q8 noise). The extra passes are free at decode:
-    # the kernel is HBM-bandwidth-bound.
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:].astype(jnp.float32),
+    ``jnp.repeat`` = element-wise repeat (each group's scale over its G
+    rows); NOT ``pltpu.repeat``, which tiles the whole array. HIGHEST:
+    Mosaic otherwise lowers f32xf32 as one bf16 MXU pass.
+    """
+    wf = w.astype(jnp.float32) * jnp.repeat(s, group_size, axis=0)
+    return acc + jax.lax.dot_general(
+        x.astype(jnp.float32),
         wf,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    @pl.when(k == k_steps - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
+def _accum_fast(x, w, s, acc, group_size: int):
+    """Per-group bf16 MXU dots, f32 scales applied to the partials.
 
-def _kernel_fast(
-    x_ref, w_ref, s_ref, o_ref, acc_ref, *, group_size: int, k_steps: int
-):
-    """Fast mode: per-group bf16 MXU dots, f32 scales applied to partials.
-
-    The accurate kernel is VPU-bound: int8→f32 convert + scale-repeat +
+    The accurate variant is VPU-bound: int8→f32 convert + scale-repeat +
     elementwise dequant touch every weight element on the VPU before the MXU
     sees it (~32% of HBM roofline measured on v5e). Here int8→bf16 (EXACT —
     bf16's 8-bit mantissa covers [-127, 127]) is the only elementwise pass,
     and the per-(group, column) scale moves OUT of the contraction: for each
     quant group g, partial = x_g @ w_g on the MXU, then acc += partial *
-    scale[g]. Measured 87% of HBM roofline on v5e at (8, 4096, 11008).
+    scale[g]. Measured 87-94% of HBM roofline on v5e.
 
     Numerics: x rounds to bf16, products accumulate in f32 → mean ~2e-3
     relative error, under the Q8 quantization noise itself and finer than
     llama2.c runq (which quantizes activations to int8, ~2x coarser).
     """
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    xb = x_ref[:].astype(jnp.bfloat16)
-    w = w_ref[:].astype(jnp.bfloat16)  # exact
-    s = s_ref[:]  # (bk // G, bn) f32
-    acc = acc_ref[:]
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
     G = group_size
     for g in range(w.shape[0] // G):
         part = jax.lax.dot_general(
             xb[:, g * G : (g + 1) * G],
-            w[g * G : (g + 1) * G, :],
+            wb[g * G : (g + 1) * G, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc = acc + part * s[g, :][None, :]
-    acc_ref[:] = acc
+    return acc
 
-    @pl.when(k == k_steps - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+def _make_kernel(accum, stacked: bool):
+    """Build the pallas kernel; ``stacked`` variants take a scalar-prefetch
+    layer index first and see weight/scale blocks with a leading unit dim."""
+
+    def kernel(*refs, group_size: int, k_steps: int):
+        if stacked:
+            _, x_ref, w_ref, s_ref, o_ref, acc_ref = refs
+            w, s = w_ref[0], s_ref[0]
+        else:
+            x_ref, w_ref, s_ref, o_ref, acc_ref = refs
+            w, s = w_ref[:], s_ref[:]
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] = accum(x_ref[:], w, s, acc_ref[:], group_size)
+
+        @pl.when(k == k_steps - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+_kernel = _make_kernel(_accum_accurate, stacked=False)
+_kernel_fast = _make_kernel(_accum_fast, stacked=False)
+_kernel_stacked = _make_kernel(_accum_accurate, stacked=True)
+_kernel_fast_stacked = _make_kernel(_accum_fast, stacked=True)
 
 
 @functools.partial(
@@ -148,6 +153,139 @@ def _quant_matmul_2d(
         interpret=interpret,
     )(x, q, scale)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size", "block_m", "block_n", "block_k", "interpret", "mode"
+    ),
+)
+def _quant_matmul_stacked_2d(
+    x: jax.Array,
+    q3: jax.Array,  # (L, K, N) int8
+    s3: jax.Array,  # (L, K/G, N) f32
+    layer: jax.Array,  # () int32
+    group_size: int,
+    block_m: int,
+    block_n: int,
+    block_k: int,
+    interpret: bool,
+    mode: str,
+) -> jax.Array:
+    """Layer-indexed fused dequant-matmul over layer-STACKED weights.
+
+    Inside a layer scan, feeding a dynamically-sliced weight to a pallas_call
+    forces XLA to materialize the slice (pallas inputs cannot alias a slice)
+    — a full extra read+write of every weight each token, measured ~2x
+    slower end-to-end on a 22-layer INT8 model. Here the kernel receives the
+    whole stacked array in HBM and the layer index rides the scalar-prefetch
+    channel into the BlockSpec index_map, so tiles DMA straight from the
+    stacked weights with no copy.
+    """
+    M, K = x.shape
+    L, _, N = q3.shape
+    k_steps = cdiv(K, block_k)
+    grid = (cdiv(M, block_m), cdiv(N, block_n), k_steps)
+    sg = block_k // group_size
+    kern = _kernel_fast_stacked if mode == "fast" else _kernel_stacked
+
+    out = pl.pallas_call(
+        functools.partial(kern, group_size=group_size, k_steps=k_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (block_m, block_k),
+                    lambda i, j, k, l_ref: (i, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, block_k, block_n),
+                    lambda i, j, k, l_ref: (l_ref[0], k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, sg, block_n),
+                    lambda i, j, k, l_ref: (l_ref[0], k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_m, block_n),
+                lambda i, j, k, l_ref: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * x.dtype.itemsize + K * N
+            + (K // group_size) * N * 4 + M * N * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, q3, s3)
+    return out
+
+
+def quant_matmul_stacked(
+    x: jax.Array,
+    w: QuantTensor,  # 3D: q (L, K, N)
+    layer,
+    *,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+    mode: str = "fast",
+) -> jax.Array:
+    """``x (..., K) @ w[layer]`` with no weight-slice copy (see the 2d fn)."""
+    if w.q.ndim != 3:
+        raise ValueError("quant_matmul_stacked expects a layer-stacked (3D) QuantTensor")
+    if mode not in ("fast", "accurate"):
+        raise ValueError(f"unknown mode {mode!r}")
+    L, K, N = w.q.shape
+    G = w.group_size
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, K)
+    if interpret is None:
+        interpret = interpret_default()
+
+    bm = block_m or (8 if M <= 8 else min(round_up(M, 8), 256))
+    bk = _pick_bk(K, G, block_k)
+    bn = _pick_bn(N, bk, block_n, mode)
+
+    Mp = round_up(M, bm)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    out = _quant_matmul_stacked_2d(
+        x2, w.q, w.scale, layer, G, bm, bn, bk, interpret, mode
+    )
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*lead, N)
+
+
+def _pick_bk(K: int, G: int, block_k: int) -> int:
+    """Largest legal K tile: divides K, whole quant groups, and the scale
+    block passes Mosaic's layout rule — its second-to-last dim (bk // G)
+    must be a multiple of 8 OR the tile must cover all of K (block == whole
+    array dim). Falls back to bk = K, which is always legal."""
+    cap = min(block_k, K)
+    best = K
+    bk = (cap // G) * G
+    while bk >= G:
+        if K % bk == 0 and (bk // G) % 8 == 0:
+            best = bk
+            break
+        bk -= G
+    return best
 
 
 _FAST_TILE_BYTES = 4 * 1024 * 1024  # bn*bk int8 tile cap (x2 double-buffered)
@@ -208,11 +346,7 @@ def quant_matmul(
         interpret = interpret_default()
 
     bm = block_m or (8 if M <= 8 else min(round_up(M, 8), 256))
-    bk = min(block_k, K)
-    # whole quant groups per K tile, lane-aligned
-    bk = max(G, (bk // G) * G)
-    while K % bk != 0:  # shrink to a divisor of K (K is a multiple of G)
-        bk -= G
+    bk = _pick_bk(K, G, block_k)
     bn = _pick_bn(N, bk, block_n, mode)
 
     Mp = round_up(M, bm)

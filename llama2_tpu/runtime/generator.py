@@ -125,8 +125,11 @@ class Generator:
         self.precision = precision
         self.backend = backend
         # Fully unroll the layer scan for small models (scan-trip overhead
-        # dominates there); keep the rolled scan for deep models where the
-        # layer math amortizes it and full unroll would bloat compile time.
+        # dominates there; measured 1.6x fp32 and 1.4x INT8 on stories15M).
+        # Keep the rolled scan for deep models: the layer math amortizes the
+        # trips, full unroll bloats compile time, and on pallas-kernel-heavy
+        # deep bodies unrolling measured ~35% SLOWER (worse scheduling
+        # around the kernel launches).
         self.layer_unroll = (
             layer_unroll
             if layer_unroll is not None
@@ -140,6 +143,14 @@ class Generator:
             else jnp.asarray(a),
             params,
         )
+        # fuse QKV / W1-W3 kernel launches on the quantized pallas path
+        # (decode there is launch-bound, not bandwidth-bound)
+        from llama2_tpu.quant.q8 import QuantTensor
+
+        if backend == "pallas" and isinstance(self.params.get("wq"), QuantTensor):
+            from llama2_tpu.models.llama import fuse_layer_params
+
+            self.params = fuse_layer_params(self.params)
 
     def _prefill(self, cache, tokens: np.ndarray, pos: int):
         """Run a (1, T) token segment; returns last-position logits + cache."""

@@ -60,6 +60,46 @@ def test_quant_matmul_rejects_stacked():
         quant_matmul(jnp.ones((1, 64)), t, interpret=True)
 
 
+def test_fused_layer_params_token_identical(tiny_checkpoint):
+    """QKV/W13 launch fusion changes kernel count, not tokens."""
+    from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.io.checkpoint import load_checkpoint
+    from llama2_tpu.quant.q8 import quantize_params
+    from llama2_tpu.runtime.generator import Generator
+
+    path, config, _ = tiny_checkpoint
+    _, params, _ = load_checkpoint(path)
+    qp = quantize_params(params)
+    gen = GenerationConfig(temperature=0.0, steps=16, seed=0)
+
+    g_fused = Generator(config, qp, backend="pallas")  # auto-fuses
+    assert "wqkv" in g_fused.params and "wq" not in g_fused.params
+    g_plain = Generator(config, qp, backend="xla")
+    t_fused = g_fused.generate([7, 12], gen).tokens
+    t_plain = g_plain.generate([7, 12], gen).tokens
+    assert t_fused == t_plain
+
+
+def test_quant_matmul_stacked_matches_per_layer():
+    """Layer-indexed stacked kernel == slicing the layer out first."""
+    from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    rng = np.random.default_rng(0)
+    L, K, N, G = 3, 256, 384, 64
+    w = rng.standard_normal((L, K, N)).astype(np.float32)
+    t = quantize(w, G)
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    for mode in ("accurate", "fast"):
+        for l in range(L):
+            got = np.asarray(
+                quant_matmul_stacked(x, t, l, interpret=True, mode=mode)
+            )
+            t2 = QuantTensor(q=t.q[l], scale=t.scale[l], group_size=G)
+            want = np.asarray(quant_matmul(x, t2, interpret=True, mode=mode))
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 # ---- flash decode attention ----
 
 from llama2_tpu.ops.pallas.attention import flash_decode_attention
