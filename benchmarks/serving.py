@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--steps", type=int, default=48)
     ap.add_argument("--page-size", type=int, default=256)
+    ap.add_argument("--ticks-per-sync", type=int, default=1)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -50,11 +51,15 @@ def main() -> None:
         eng = PagedBatchEngine(
             config, params, batch_size=args.batch_size,
             page_size=min(args.page_size, config.seq_len),
+            ticks_per_sync=args.ticks_per_sync,
         )
     else:
         from llama2_tpu.runtime.batch_engine import BatchEngine
 
-        eng = BatchEngine(config, params, batch_size=args.batch_size)
+        eng = BatchEngine(
+            config, params, batch_size=args.batch_size,
+            ticks_per_sync=args.ticks_per_sync,
+        )
 
     # mixed-length prompts (tokens drawn uniformly; BOS excluded); prompt
     # must be shorter than steps or the request degenerates to a pure echo
@@ -65,11 +70,19 @@ def main() -> None:
     ]
     gen = GenerationConfig(temperature=0.0, steps=args.steps, seed=0)
 
-    # warmup: compile prefill chunks + tick (run_until_idle drives the
-    # engine synchronously; generate() alone would wait on a driver thread)
-    wq = eng.submit(prompts[0], GenerationConfig(temperature=0.0, steps=4, seed=0))
-    eng.run_until_idle()
-    wq.get(timeout=600)
+    # warmup: compile ALL prefill chunk sizes + the tick program before the
+    # timer (run_until_idle drives the engine synchronously; generate()
+    # alone would wait on a driver thread)
+    from llama2_tpu.runtime.batch_engine import PREFILL_CHUNKS
+
+    warm_len = min(sum(PREFILL_CHUNKS), config.seq_len - 8)
+    for wl in (warm_len, 3):  # long (all chunks + big bucket) and short
+        warm_prompt = rng.integers(2, config.vocab_size, wl).tolist()
+        wq = eng.submit(
+            warm_prompt, GenerationConfig(temperature=0.0, steps=wl + 4, seed=0)
+        )
+        eng.run_until_idle()
+        wq.get(timeout=600)
 
     t0 = time.perf_counter()
     queues = [eng.submit(p, gen) for p in prompts]
@@ -80,7 +93,7 @@ def main() -> None:
     total_tokens = sum(len(r.tokens) for r in results)
     lat = sorted(r.total_s for r in results)
     ttft = eng.ttft_percentiles()
-    mode = "paged" if args.paged else "dense"
+    mode = ("paged" if args.paged else "dense") + f",K={args.ticks_per_sync}"
     print(
         f"serving[{mode}] batch={args.batch_size} requests={args.requests}: "
         f"{total_tokens / wall:8.1f} tok/s aggregate | "

@@ -25,6 +25,10 @@ class ModelConfig:
     n_kv_heads: int
     vocab_size: int
     seq_len: int
+    # rmsnorm epsilon: 1e-5 in llama2.c/the reference (main.zig:452-454);
+    # HF Llama checkpoints carry their own (usually 1e-6 or 1e-5) — set by
+    # the importer. Not part of the v0 header, so not serialized to .bin.
+    norm_eps: float = 1e-5
 
     @property
     def head_size(self) -> int:

@@ -66,7 +66,7 @@ def _layer(
     H, KVH, hs = config.n_heads, config.n_kv_heads, config.head_size
 
     # attention block
-    xb = ops.rmsnorm(x, layer_params["rms_att"])
+    xb = ops.rmsnorm(x, layer_params["rms_att"], config.norm_eps)
     if "wqkv" in layer_params:
         # fused QKV (the reference's matmul_fused(3, ...) analog,
         # main.zig:308-320): one kernel launch, one read of xb
@@ -118,7 +118,7 @@ def _layer(
     x = x + linear(att, layer_params["wo"], precision, backend, layer_idx)
 
     # FFN block
-    xb = ops.rmsnorm(x, layer_params["rms_ffn"])
+    xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
     if "w13" in layer_params:
         # fused gate+up (matmul_fused(2, {w1,w3}) analog, main.zig:405-408)
         HD = layer_params["w13"].shape[-1] // 2
@@ -224,7 +224,7 @@ def forward(
     x, (k_new, v_new) = jax.lax.scan(
         body, x, (idxs, layer_stack, cache["k"], cache["v"]), unroll=unroll
     )
-    x = ops.rmsnorm(x, params["rms_final"])
+    x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
     return x, {"k": k_new, "v": v_new}
 
 

@@ -78,7 +78,7 @@ def paged_forward_step(
         idx, sliced, k_pool_l, v_pool_l = xs
         lp = {**sliced, **stacked}
         li = idx if stacked else None
-        xb = ops.rmsnorm(x, lp["rms_att"])
+        xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
         q = linear(xb, lp["wq"], precision, backend, li).reshape(B, 1, H, hs_real)
         k = linear(xb, lp["wk"], precision, backend, li).reshape(B, 1, KVH, hs_real)
         v = linear(xb, lp["wv"], precision, backend, li).reshape(B, 1, KVH, hs_real)
@@ -110,7 +110,7 @@ def paged_forward_step(
             )
         att = att[..., :hs_real].reshape(B, 1, config.dim)
         x = x + linear(att, lp["wo"], precision, backend)
-        xb = ops.rmsnorm(x, lp["rms_ffn"])
+        xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
         h1 = linear(xb, lp["w1"], precision, backend)
         h3 = linear(xb, lp["w3"], precision, backend)
         x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend)
@@ -120,5 +120,5 @@ def paged_forward_step(
     x, (k_pool, v_pool) = jax.lax.scan(
         body, x, (idxs, layer_stack, k_pool, v_pool), unroll=unroll
     )
-    x = ops.rmsnorm(x, params["rms_final"])
+    x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
     return x, k_pool, v_pool

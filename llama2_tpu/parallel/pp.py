@@ -53,7 +53,7 @@ def _local_layers(x, stack, cos, sin, config: ModelConfig, precision):
     H, KVH, hs = config.n_heads, config.n_kv_heads, config.head_size
 
     def body(x, lp):
-        xb = ops.rmsnorm(x, lp["rms_att"])
+        xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
         mm = lambda a, w: jnp.einsum("btd,de->bte", a, w, precision=precision)
         q = mm(xb, lp["wq"]).reshape(B, T, H, hs)
         k = mm(xb, lp["wk"]).reshape(B, T, KVH, hs)
@@ -62,7 +62,7 @@ def _local_layers(x, stack, cos, sin, config: ModelConfig, precision):
         k = ops.apply_rope(k, cos, sin)
         att = dense_causal_attention(q, k, v, scale=1.0 / hs**0.5)
         x = x + mm(att.reshape(B, T, D), lp["wo"])
-        xb = ops.rmsnorm(x, lp["rms_ffn"])
+        xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
         x = x + mm(ops.swiglu(mm(xb, lp["w1"]), mm(xb, lp["w3"])), lp["w2"])
         return x, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
@@ -143,7 +143,7 @@ def _pp_forward_local(
         jnp.where(my == S - 1, hidden_out, jnp.zeros_like(hidden_out)),
         axis_name,
     )
-    hidden_out = ops.rmsnorm(hidden_out, params["rms_final"])
+    hidden_out = ops.rmsnorm(hidden_out, params["rms_final"], config.norm_eps)
     return hidden_out, k_out, v_out
 
 

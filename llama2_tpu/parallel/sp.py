@@ -61,7 +61,7 @@ def _sp_forward_local(
     layer_stack = {k: params[k] for k in _LAYER_KEYS}
 
     def body(x, lp):
-        xb = ops.rmsnorm(x, lp["rms_att"])
+        xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
         mm = lambda a, w: jnp.einsum("btd,de->bte", a, w, precision=precision)
         q = mm(xb, lp["wq"]).reshape(B, Tl, H, hs)
         k = mm(xb, lp["wk"]).reshape(B, Tl, KVH, hs)
@@ -72,13 +72,13 @@ def _sp_forward_local(
             q, k, v, axis_name=axis_name, scale=1.0 / hs**0.5, t_local=t_local
         )
         x = x + mm(att.reshape(B, Tl, D), lp["wo"])
-        xb = ops.rmsnorm(x, lp["rms_ffn"])
+        xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
         x = x + mm(ops.swiglu(mm(xb, lp["w1"]), mm(xb, lp["w3"])), lp["w2"])
         # cache planes (B, KVH, Tl, hs) for this layer's chunk
         return x, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
     x, (k_seg, v_seg) = jax.lax.scan(body, x, layer_stack)
-    x = ops.rmsnorm(x, params["rms_final"])
+    x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
     return x, k_seg, v_seg
 
 

@@ -63,29 +63,16 @@ class BatchResult:
     total_s: float
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "precision", "backend"),
-    donate_argnames=("cache",),
-)
-def _tick(
-    params,
-    cache,
-    tokens,  # (B,) int32 current input token per slot
-    pos,  # (B,) int32 position of that token
-    temperature,  # (B,) f32
-    top_p,  # (B,) f32
-    use_argmax,  # (B,) bool
-    key,
-    *,
-    config: ModelConfig,
-    precision,
-    backend: str,
-):
-    """One batched decode step; returns (next_tokens, cache)."""
-    hidden, cache = forward(params, cache, tokens[:, None], pos, config, precision, backend)
-    logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)  # (B, V)
+def _sample_batched(logits, temperature, top_p, use_argmax, key, stochastic=True):
+    """Per-slot sampler: argmax or nucleus, selected by runtime flag.
 
+    ``stochastic=False`` (static) skips the nucleus path entirely: the
+    full-vocab sort costs ~4 ms/tick for 8 slots and would otherwise run
+    (then be discarded by the where) even for all-argmax batches.
+    """
+    greedy = sampling.sample_argmax(logits)
+    if not stochastic:
+        return greedy
     B = logits.shape[0]
     keys = jax.random.split(key, B)
     probs = sampling.probs_from_logits(logits, temperature[:, None])
@@ -93,9 +80,72 @@ def _tick(
     # so one nucleus sampler covers both stochastic modes per slot.
     p_eff = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)
     drawn = jax.vmap(sampling.sample_top_p)(probs, p_eff, keys)
-    greedy = sampling.sample_argmax(logits)
-    nxt = jnp.where(use_argmax, greedy, drawn)
-    return nxt.astype(jnp.int32), cache
+    return jnp.where(use_argmax, greedy, drawn).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic"),
+    donate_argnames=("cache",),
+)
+def _tick(
+    params,
+    cache,
+    tokens,  # (B,) int32 current input token per slot
+    pos,  # (B,) int32 position of that token
+    budget,  # (B,) int32 tokens each slot may still emit
+    temperature,  # (B,) f32
+    top_p,  # (B,) f32
+    use_argmax,  # (B,) bool
+    active,  # (B,) bool
+    key,
+    *,
+    config: ModelConfig,
+    precision,
+    backend: str,
+    n_ticks: int = 1,
+    stochastic: bool = True,
+):
+    """Run ``n_ticks`` batched decode steps on device per host sync.
+
+    Per-slot freeze logic lives on device so one host round trip can carry
+    many tokens — essential when the host link is slow (this environment's
+    TPU tunnel costs ~25 ms per sync) and a throughput win everywhere. A
+    slot freezes when it samples BOS (main.zig:1016-1019), exhausts its
+    emit budget, or hits seq_len; frozen slots keep rewriting the same KV
+    position with the same token, which is idempotent.
+
+    Returns ``(emitted (n_ticks, B) int32 [-1 where frozen], tokens, pos,
+    budget, active, cache)``.
+    """
+
+    def step(carry, i):
+        tokens, pos, budget, active, cache = carry
+        hidden, cache = forward(
+            params, cache, tokens[:, None], pos, config, precision, backend
+        )
+        logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
+        nxt = _sample_batched(
+            logits, temperature, top_p, use_argmax,
+            jax.random.fold_in(key, i), stochastic,
+        )
+        emitted = jnp.where(active, nxt, -1)
+        is_bos = nxt == BOS
+        # advance active, non-BOS slots; freeze the rest where they stand
+        advance = active & ~is_bos
+        budget = jnp.where(advance, budget - 1, budget)
+        pos = jnp.where(advance, jnp.minimum(pos + 1, config.seq_len - 1), pos)
+        tokens = jnp.where(advance, nxt, tokens)
+        active = advance & (budget > 0) & (pos + 1 < config.seq_len)
+        return (tokens, pos, budget, active, cache), emitted
+
+    (tokens, pos, budget, active, cache), emitted = jax.lax.scan(
+        step, (tokens, pos, budget, active, cache), jnp.arange(n_ticks)
+    )
+    # pack everything the host reads into ONE array: each np.asarray of a
+    # device array is a full host round trip on a remote transport
+    packed = jnp.concatenate([emitted, tokens[None], pos[None]], axis=0)
+    return packed, cache
 
 
 @partial(
@@ -134,9 +184,14 @@ class BatchEngine:
         precision=jax.lax.Precision.HIGHEST,
         backend: str = "xla",
         default_seed: int = 0,
+        ticks_per_sync: int = 1,
     ):
         self.config = config
         self.batch_size = batch_size
+        # decode steps per host round trip: 1 = lowest streaming latency;
+        # raise it when host<->device sync is expensive relative to a step
+        # (new tokens then arrive in bursts of up to this size)
+        self.ticks_per_sync = max(1, ticks_per_sync)
         self.precision = precision
         self.backend = backend
         self.dtype = jnp.dtype(dtype)
@@ -313,33 +368,52 @@ class BatchEngine:
     def _decode_tick(self):
         key = jax.random.fold_in(self._base_key, self._tick_idx)
         self._tick_idx += 1
-        nxt, self.cache = _tick(
+        active = np.asarray([r is not None for r in self.slots])
+        budget = np.asarray(
+            [
+                (r.steps - len(r.tokens)) if r is not None else 0
+                for r in self.slots
+            ],
+            np.int32,
+        )
+        packed, self.cache = _tick(
             self.params,
             self.cache,
             jnp.asarray(self._tokens),
             jnp.asarray(self._pos),
+            jnp.asarray(budget),
             jnp.asarray(self._temp),
             jnp.asarray(self._topp),
             jnp.asarray(self._argmax),
+            jnp.asarray(active),
             key,
             config=self.config,
             precision=self.precision,
             backend=self.backend,
+            n_ticks=self.ticks_per_sync,
+            stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
         )
-        nxt = np.asarray(nxt)
-        for slot, req in enumerate(self.slots):
-            if req is None:
-                continue
-            self._pos[slot] += 1
-            tok = int(nxt[slot])
-            self.metrics["tokens"] += 1
-            if tok == BOS:
-                self._finish(slot_req=req, slot=slot)
-                continue
-            req.tokens.append(tok)
-            self._tokens[slot] = tok
-            if len(req.tokens) >= req.steps or self._pos[slot] + 1 >= self.config.seq_len:
-                self._finish(slot_req=req, slot=slot)
+        packed = np.asarray(packed)  # the ONE host sync per decode window
+        emitted = packed[:-2]  # (n_ticks, B)
+        self._tokens = packed[-2].copy()
+        self._pos = packed[-1].copy()
+        for t in range(emitted.shape[0]):
+            for slot, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                tok = int(emitted[t, slot])
+                if tok < 0:  # slot was frozen on device this tick
+                    continue
+                self.metrics["tokens"] += 1
+                if tok == BOS:
+                    self._finish(slot_req=req, slot=slot)
+                    continue
+                req.tokens.append(tok)
+                if (
+                    len(req.tokens) >= req.steps
+                    or self._pos[slot] + 1 >= self.config.seq_len
+                ):
+                    self._finish(slot_req=req, slot=slot)
 
     def _finish(self, slot_req: Request, slot: int | None = None):
         if slot is not None:

@@ -90,6 +90,18 @@ def _write_rows(pool, rows, page_ids, row_ids):
     return pool
 
 
+def _bucket(T: int) -> int:
+    """Next power of two >= max(T, 32): bounds the jit specializations of
+    ``_write_rows`` (its trace depends on the row count; every distinct
+    prompt length would otherwise trigger a fresh compile — compiles are
+    expensive enough on a remote-compile transport that admission must
+    reuse a handful of shapes)."""
+    b = 32
+    while b < T:
+        b *= 2
+    return b
+
+
 def write_segment(
     pool: PagePool,
     k_rows: jax.Array,  # (L, T, KVH, hs) new keys for positions pos0..pos0+T-1
@@ -97,11 +109,28 @@ def write_segment(
     table: np.ndarray,  # this slot's page table (host int32, logical order)
     pos0: int,
 ) -> PagePool:
-    """Write a prefilled segment's KV rows through the slot's page table."""
+    """Write a prefilled segment's KV rows through the slot's page table.
+
+    Rows are padded up to a power-of-two bucket by REPEATING the last row at
+    its own (page, row) coordinates — an idempotent rewrite — so row-count
+    jit specializations stay logarithmic in seq_len.
+    """
     T = k_rows.shape[1]
     logical = np.arange(pos0, pos0 + T)
-    page_ids = jnp.asarray(table[logical // pool.page_size], jnp.int32)
-    row_ids = jnp.asarray(logical % pool.page_size, jnp.int32)
+    page_ids = table[logical // pool.page_size].astype(np.int32)
+    row_ids = (logical % pool.page_size).astype(np.int32)
+    pad = _bucket(T) - T
+    if pad:
+        k_rows = jnp.concatenate(
+            [k_rows, jnp.repeat(k_rows[:, -1:], pad, axis=1)], axis=1
+        )
+        v_rows = jnp.concatenate(
+            [v_rows, jnp.repeat(v_rows[:, -1:], pad, axis=1)], axis=1
+        )
+        page_ids = np.concatenate([page_ids, np.repeat(page_ids[-1:], pad)])
+        row_ids = np.concatenate([row_ids, np.repeat(row_ids[-1:], pad)])
+    page_ids = jnp.asarray(page_ids)
+    row_ids = jnp.asarray(row_ids)
     return dataclasses.replace(
         pool,
         k=_write_rows(pool.k, k_rows, page_ids, row_ids),

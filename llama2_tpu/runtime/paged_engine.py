@@ -31,33 +31,89 @@ from llama2_tpu.config import ModelConfig
 from llama2_tpu.models.llama import forward, init_cache, logits_from_hidden
 from llama2_tpu.models.paged import paged_forward_step
 from llama2_tpu.ops import sampling
-from llama2_tpu.runtime.batch_engine import BOS, BatchEngine, Request
-from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool, write_segment
+from llama2_tpu.runtime.batch_engine import (
+    BOS,
+    BatchEngine,
+    Request,
+    _sample_batched,
+)
+from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend"),
+    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic"),
     donate_argnames=("k_pool", "v_pool"),
 )
 def _tick_paged(
-    params, k_pool, v_pool, table, tokens, pos, page_ids, row_ids,
-    temperature, top_p, use_argmax, key,
+    params, k_pool, v_pool, table, tokens, pos, budget,
+    page_ids, row_ids,  # (n_ticks, B): precomputed write coords per tick
+    temperature, top_p, use_argmax, active, key,
     *, config: ModelConfig, precision, backend: str,
+    n_ticks: int = 1, stochastic: bool = True,
 ):
-    hidden, k_pool, v_pool = paged_forward_step(
-        params, k_pool, v_pool, table, tokens, pos, page_ids, row_ids,
-        config, precision, backend,
+    """n_ticks paged decode steps per host sync (see batch_engine._tick for
+    the freeze semantics — identical here, with page-table writes).
+
+    Frozen slots keep scattering their stale K/V at the PRE-COMPUTED next
+    coordinates — positions beyond their final pos inside their own pages,
+    never attended and recycled at retire — so the write coords don't need
+    per-slot branching on device.
+    """
+
+    def step(carry, i):
+        tokens, pos, budget, active, k_pool, v_pool = carry
+        hidden, k_pool, v_pool = paged_forward_step(
+            params, k_pool, v_pool, table, tokens, pos,
+            page_ids[i], row_ids[i], config, precision, backend,
+        )
+        logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
+        nxt = _sample_batched(
+            logits, temperature, top_p, use_argmax,
+            jax.random.fold_in(key, i), stochastic,
+        )
+        emitted = jnp.where(active, nxt, -1)
+        advance = active & (nxt != BOS)
+        budget = jnp.where(advance, budget - 1, budget)
+        pos = jnp.where(advance, jnp.minimum(pos + 1, config.seq_len - 1), pos)
+        tokens = jnp.where(advance, nxt, tokens)
+        active = advance & (budget > 0) & (pos + 1 < config.seq_len)
+        return (tokens, pos, budget, active, k_pool, v_pool), emitted
+
+    (tokens, pos, budget, active, k_pool, v_pool), emitted = jax.lax.scan(
+        step, (tokens, pos, budget, active, k_pool, v_pool),
+        jnp.arange(n_ticks),
     )
-    logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
-    B = logits.shape[0]
-    keys = jax.random.split(key, B)
-    probs = sampling.probs_from_logits(logits, temperature[:, None])
-    p_eff = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)
-    drawn = jax.vmap(sampling.sample_top_p)(probs, p_eff, keys)
-    greedy = sampling.sample_argmax(logits)
-    nxt = jnp.where(use_argmax, greedy, drawn)
-    return nxt.astype(jnp.int32), k_pool, v_pool
+    packed = jnp.concatenate([emitted, tokens[None], pos[None]], axis=0)
+    return packed, k_pool, v_pool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bucket",),
+    donate_argnames=("k_pool", "v_pool"),
+)
+def _stage_write(
+    k_pool, v_pool, staging_k, staging_v, page_ids, row_ids, *, bucket: int
+):
+    """Move a prefilled staging plane's first ``bucket`` rows into pages.
+
+    One jitted program per bucket size: slicing/transposing/scattering
+    eagerly per request re-specialized on every distinct prompt length,
+    which costs a fresh (remote) compile per admission. Rows past the real
+    length carry garbage; the host routes their coords to the scratch page.
+    staging_*: (L, 1, KVH, S, hs); page_ids/row_ids: (bucket,).
+    """
+
+    def rows_of(staging):
+        r = jax.lax.slice_in_dim(staging[:, 0], 0, bucket, axis=2)
+        return r.transpose(0, 2, 1, 3)  # (L, bucket, KVH, hs)
+
+    from llama2_tpu.runtime.paged_cache import _write_rows
+
+    k_pool = _write_rows(k_pool, rows_of(staging_k), page_ids, row_ids)
+    v_pool = _write_rows(v_pool, rows_of(staging_v), page_ids, row_ids)
+    return k_pool, v_pool
 
 
 class PagedBatchEngine(BatchEngine):
@@ -159,16 +215,26 @@ class PagedBatchEngine(BatchEngine):
                     remaining = remaining[len(seg):]
                     break
 
-        # move the staged KV rows into freshly allocated pages
+        # move the staged KV rows into freshly allocated pages — one jitted
+        # program per power-of-two bucket; garbage rows past ``pos`` route
+        # to the scratch page (page 0)
+        import dataclasses as _dc
+
+        from llama2_tpu.runtime.paged_cache import _bucket
+
         pages = self.pool.alloc(self.pool.pages_for(pos))
         table = np.asarray(pages, np.int32)
-        k_rows = jnp.transpose(  # (L, 1, KVH, S, hs) -> (L, T, KVH, hs)
-            self._staging_rows(staging["k"], pos), (0, 2, 1, 3)
+        bucket = min(_bucket(pos), self.config.seq_len)
+        logical = np.arange(bucket)
+        real = logical < pos
+        page_idx = np.minimum(logical // self.page_size, len(pages) - 1)
+        pids = np.where(real, table[page_idx], 0).astype(np.int32)
+        rids = np.where(real, logical % self.page_size, 0).astype(np.int32)
+        k_pool, v_pool = _stage_write(
+            self.pool.k, self.pool.v, staging["k"], staging["v"],
+            jnp.asarray(pids), jnp.asarray(rids), bucket=bucket,
         )
-        v_rows = jnp.transpose(
-            self._staging_rows(staging["v"], pos), (0, 2, 1, 3)
-        )
-        self.pool = write_segment(self.pool, k_rows, v_rows, table, 0)
+        self.pool = _dc.replace(self.pool, k=k_pool, v=v_pool)
 
         first = self._sample_host(np.asarray(logits), req, pos - 1)
         req.ttft_s = time.perf_counter() - req.submitted_at
@@ -192,20 +258,22 @@ class PagedBatchEngine(BatchEngine):
         self.metrics["requests"] += 1
         self.metrics["ttft"].append(req.ttft_s)
 
-    @staticmethod
-    def _staging_rows(plane: jax.Array, T: int) -> jax.Array:
-        """(L, 1, KVH, S, hs) -> (L, KVH, T, hs) first T positions."""
-        return plane[:, 0, :, :T, :]
-
     def _decode_tick(self):
-        # ensure the page for each active slot's write position exists
+        K = self.ticks_per_sync
+        # ensure pages exist to cover each active slot's next K positions
+        # (frozen slots still scatter at the precomputed coords — see
+        # _tick_paged — so the whole window must be backed)
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            need_idx = int(self._pos[slot]) // self.page_size
-            if need_idx >= len(self._slot_pages[slot]):
+            last_idx = min(
+                (int(self._pos[slot]) + K - 1) // self.page_size,
+                self.max_pages - 1,
+            )
+            need = last_idx + 1 - len(self._slot_pages[slot])
+            if need > 0:
                 try:
-                    (pg,) = self.pool.alloc(1)
+                    pgs = self.pool.alloc(need)
                 except OutOfPages:
                     self._release_slot(slot)
                     others = any(
@@ -226,44 +294,67 @@ class PagedBatchEngine(BatchEngine):
                         # hold this request; return what it has
                         self._finish(slot_req=req, slot=slot)
                     continue
-                self._slot_pages[slot].append(pg)
-                self._tables[slot, need_idx] = pg
+                base = len(self._slot_pages[slot])
+                for j, pg in enumerate(pgs):
+                    self._tables[slot, base + j] = pg
+                self._slot_pages[slot].extend(pgs)
         if not any(self.slots):
             return
 
         key = jax.random.fold_in(self._base_key, self._tick_idx)
         self._tick_idx += 1
-        pos = jnp.asarray(self._pos)
-        page_ids = jnp.asarray(
-            self._tables[np.arange(self.batch_size), self._pos // self.page_size]
+        active = np.asarray([r is not None for r in self.slots])
+        budget = np.asarray(
+            [
+                (r.steps - len(r.tokens)) if r is not None else 0
+                for r in self.slots
+            ],
+            np.int32,
         )
-        row_ids = jnp.asarray(self._pos % self.page_size, jnp.int32)
-        nxt, k_pool, v_pool = _tick_paged(
+        # write coords for ticks 0..K-1 assuming every slot advances (frozen
+        # slots harmlessly overwrite ahead of their final pos)
+        win = self._pos[None, :] + np.arange(K)[:, None]  # (K, B)
+        win = np.minimum(win, self.config.seq_len - 1)
+        page_ids = self._tables[
+            np.arange(self.batch_size)[None, :], win // self.page_size
+        ].astype(np.int32)
+        row_ids = (win % self.page_size).astype(np.int32)
+
+        packed, k_pool, v_pool = _tick_paged(
             self.params, self.pool.k, self.pool.v,
-            jnp.asarray(self._tables), jnp.asarray(self._tokens), pos,
-            page_ids, row_ids,
+            jnp.asarray(self._tables), jnp.asarray(self._tokens),
+            jnp.asarray(self._pos), jnp.asarray(budget),
+            jnp.asarray(page_ids), jnp.asarray(row_ids),
             jnp.asarray(self._temp), jnp.asarray(self._topp),
-            jnp.asarray(self._argmax), key,
+            jnp.asarray(self._argmax), jnp.asarray(active), key,
             config=self.config, precision=self.precision,
-            backend=self.backend,
+            backend=self.backend, n_ticks=K,
+            stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
         )
         self.pool.k, self.pool.v = k_pool, v_pool
-        nxt = np.asarray(nxt)
-        for slot, req in enumerate(self.slots):
-            if req is None:
-                continue
-            self._pos[slot] += 1
-            tok = int(nxt[slot])
-            self.metrics["tokens"] += 1
-            if tok == BOS:
-                self._release_slot(slot)
-                self._finish(slot_req=req, slot=slot)
-                continue
-            req.tokens.append(tok)
-            self._tokens[slot] = tok
-            if len(req.tokens) >= req.steps or self._pos[slot] + 1 >= self.config.seq_len:
-                self._release_slot(slot)
-                self._finish(slot_req=req, slot=slot)
+        packed = np.asarray(packed)  # ONE host sync per window
+        emitted = packed[:-2]
+        self._tokens = packed[-2].copy()
+        self._pos = packed[-1].copy()
+        for t in range(emitted.shape[0]):
+            for slot, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                tok = int(emitted[t, slot])
+                if tok < 0:
+                    continue
+                self.metrics["tokens"] += 1
+                if tok == BOS:
+                    self._release_slot(slot)
+                    self._finish(slot_req=req, slot=slot)
+                    continue
+                req.tokens.append(tok)
+                if (
+                    len(req.tokens) >= req.steps
+                    or self._pos[slot] + 1 >= self.config.seq_len
+                ):
+                    self._release_slot(slot)
+                    self._finish(slot_req=req, slot=slot)
 
     def _release_slot(self, slot: int):
         self.pool.release(self._slot_pages[slot])

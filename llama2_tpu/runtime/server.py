@@ -13,7 +13,7 @@ Endpoints:
 
 Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8] \
-          [--paged [--page-size 256] [--pages N]]
+          [--paged [--page-size 256] [--pages N]] [--ticks-per-sync K]
 
 ``--paged`` switches the KV cache to the paged layout
 (runtime/paged_engine.py): memory scales with tokens in flight instead of
@@ -150,6 +150,7 @@ def main(argv=None):
     paged = False
     page_size = 256
     n_pages = None
+    ticks = 1
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -176,6 +177,9 @@ def main(argv=None):
             platform = argv[i]
         elif a == "--paged":
             paged = True
+        elif a == "--ticks-per-sync":
+            i += 1
+            ticks = int(argv[i])
         elif a == "--page-size":
             i += 1
             page_size = int(argv[i])
@@ -225,6 +229,7 @@ def main(argv=None):
             params,
             batch_size=batch,
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+            ticks_per_sync=ticks,
         )
     serve(engine, tokenizer, host, port)
     return 0

@@ -38,6 +38,23 @@ def test_batched_equals_single_stream(engine_and_ref):
         assert got.tokens == want, f"prompt {p}: {got.tokens} != {want}"
 
 
+@pytest.mark.parametrize("ticks", [4, 16])
+def test_multi_tick_sync_token_identical(engine_and_ref, ticks):
+    """ticks_per_sync batches device steps per host sync without changing
+    any emitted token (freeze logic moves on device)."""
+    config, params, ref = engine_and_ref
+    prompts = [[5, 17], [], [320, 9, 44], [7]]
+    gen = GenerationConfig(temperature=0.0, steps=21)  # not a tick multiple
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = BatchEngine(config, params, batch_size=2, ticks_per_sync=ticks)
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for p, want, q in zip(prompts, expected, queues):
+        got = q.get(timeout=60)
+        assert got.tokens == want, f"prompt {p}: {got.tokens} != {want}"
+
+
 def test_more_requests_than_slots(engine_and_ref):
     config, params, ref = engine_and_ref
     gen = GenerationConfig(temperature=0.0, steps=12)

@@ -71,6 +71,25 @@ def test_memory_pressure_requeues_admission(setup):
         assert q.get(timeout=60).tokens == want
 
 
+def test_paged_multi_tick_token_identical(setup):
+    """ticks_per_sync > 1 on the paged engine changes no emitted token."""
+    config, params, ref = setup
+    prompts = [[5, 17], [320, 9, 44], [7]]
+    gen = GenerationConfig(temperature=0.0, steps=19)
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=8, n_pages=24,
+        ticks_per_sync=8,
+    )
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for p, want, q in zip(prompts, expected, queues):
+        got = q.get(timeout=60)
+        assert got.tokens == want, f"prompt {p}: {got.tokens} != {want}"
+    assert all(not p for p in eng._slot_pages)  # pages all released
+
+
 def test_scratch_page_never_allocated(setup):
     config, params, _ = setup
     eng = PagedBatchEngine(config, params, batch_size=2, page_size=8, n_pages=8)
