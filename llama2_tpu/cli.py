@@ -33,6 +33,7 @@ TPU options:
  --profile <dir>           capture a jax.profiler trace of the run into <dir>
  --platform <name>         force a jax platform (e.g. cpu), default = env
  --kernels <xla|pallas>    compute path for quantized matmuls, default xla
+ --kv-cache <f32|int8>     KV cache storage (int8: 4x less attention traffic)
  --save-cache <dir>        write the loaded params to a fast-load cache dir
  --warmup                  run a warmup generate so tokens/s excludes compile
 """
@@ -60,6 +61,7 @@ def parse_args(argv: list[str]) -> dict | None:
         "verbose": False,
         "dtype": "f32",
         "quant": "none",
+        "kv_cache": "f32",
         "prefill_chunk": None,
         "profile": None,
         "platform": None,
@@ -118,6 +120,11 @@ def parse_args(argv: list[str]) -> dict | None:
             if val not in ("f32", "bf16"):
                 _die(f"unable to parse --dtype argument '{val}'")
             opts["dtype"] = val
+        elif arg == "--kv-cache":
+            val, i = take_value(i, "kv-cache")
+            if val not in ("f32", "int8"):
+                _die(f"unable to parse --kv-cache argument '{val}'")
+            opts["kv_cache"] = val
         elif arg == "--quant":
             val, i = take_value(i, "quant")
             if val not in ("none", "int8"):
@@ -204,7 +211,8 @@ def main(argv: list[str] | None = None) -> int:
         jax.lax.Precision.HIGHEST if opts["dtype"] == "f32" else jax.lax.Precision.DEFAULT
     )
     generator = Generator(
-        config, params, dtype=dtype, precision=precision, backend=opts["kernels"]
+        config, params, dtype=dtype, precision=precision,
+        backend=opts["kernels"], kv_quant=opts["kv_cache"] == "int8",
     )
 
     gen = GenerationConfig(

@@ -28,18 +28,34 @@ from llama2_tpu.ops.linear import linear
 
 
 def init_cache(
-    config: ModelConfig, batch: int = 1, dtype=jnp.float32, lane_pad: bool = False
+    config: ModelConfig,
+    batch: int = 1,
+    dtype=jnp.float32,
+    lane_pad: bool = False,
+    kv_quant: bool = False,
 ) -> dict[str, jax.Array]:
     """Allocate the functional KV cache at full seq_len (main.zig:151-152).
 
     ``lane_pad`` zero-pads the head dim up to a multiple of 128 lanes — the
     flash decode kernel's DMA requirement. Zero pad lanes change no scores or
     outputs (q·k adds zeros; V pad columns produce zeros that are sliced off).
+
+    ``kv_quant`` stores K/V as int8 with per-(position, head) f32 scales —
+    4x less decode-attention HBM traffic and 4x more context per byte (see
+    ops/pallas/attention_q8.py). Keys gain ``k_scale``/``v_scale``.
     """
     hs = config.head_size
     if lane_pad:
         hs = ((hs + 127) // 128) * 128
     shape = (config.n_layers, batch, config.n_kv_heads, config.seq_len, hs)
+    if kv_quant:
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.int8),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -55,7 +71,9 @@ def _layer(
     precision,
     backend: str,
     layer_idx=None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    ks_cache: jax.Array | None = None,
+    vs_cache: jax.Array | None = None,
+):
     """One decoder layer over a (B, T, D) segment starting at ``pos``.
 
     ``layer_idx``: set when quantized weights arrive layer-STACKED (the scan
@@ -92,9 +110,20 @@ def _layer(
     # cache planes are (B, KVH, S, hs); new keys arrive as (B, T, KVH, hs)
     k_bh = k.transpose(0, 2, 1, 3)
     v_bh = v.transpose(0, 2, 1, 3)
+    kv_quant = ks_cache is not None
+
+    if kv_quant:
+        from llama2_tpu.ops.pallas.attention_q8 import quantize_kv_rows
+
+        k_bh, k_sc = quantize_kv_rows(k_bh)  # (B, KVH, T, hs), (B, KVH, T)
+        v_bh, v_sc = quantize_kv_rows(v_bh)
+
     if pos.ndim == 0:
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_bh, (0, 0, pos, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_bh, (0, 0, pos, 0))
+        if kv_quant:
+            ks_cache = jax.lax.dynamic_update_slice(ks_cache, k_sc, (0, 0, pos))
+            vs_cache = jax.lax.dynamic_update_slice(vs_cache, v_sc, (0, 0, pos))
     else:
         # per-row positions (continuous batching: each slot at its own pos)
         upd = jax.vmap(
@@ -102,9 +131,36 @@ def _layer(
         )
         k_cache = upd(k_cache, k_bh, pos)
         v_cache = upd(v_cache, v_bh, pos)
+        if kv_quant:
+            upd1 = jax.vmap(
+                lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p))
+            )
+            ks_cache = upd1(ks_cache, k_sc, pos)
+            vs_cache = upd1(vs_cache, v_sc, pos)
 
     scale = 1.0 / (hs**0.5)  # real head size, not the lane-padded one
-    if backend == "pallas" and hs_c % 128 == 0 and pos.ndim == 0 and T > 1:
+    if kv_quant:
+        if backend == "pallas" and T == 1 and hs_c % 128 == 0:
+            from llama2_tpu.ops.pallas.attention_q8 import (
+                flash_decode_attention_q8,
+            )
+
+            att = flash_decode_attention_q8(
+                q, k_cache, ks_cache, v_cache, vs_cache, pos, scale=scale
+            )
+        else:
+            # oracle/fallback: dequantize and reuse the fp paths
+            from llama2_tpu.ops.pallas.attention_q8 import dequantize_kv
+
+            att = ops.attention(
+                q,
+                dequantize_kv(k_cache, ks_cache),
+                dequantize_kv(v_cache, vs_cache),
+                pos,
+                precision=precision,
+                scale=scale,
+            )
+    elif backend == "pallas" and hs_c % 128 == 0 and pos.ndim == 0 and T > 1:
         from llama2_tpu.ops.pallas.prefill_attention import flash_prefill_attention
 
         att = flash_prefill_attention(q, k_cache, v_cache, pos, scale=scale)
@@ -130,7 +186,7 @@ def _layer(
     x = x + linear(
         ops.swiglu(h1, h3), layer_params["w2"], precision, backend, layer_idx
     )
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, ks_cache, vs_cache
 
 
 _LAYER_KEYS = ("rms_att", "wq", "wk", "wv", "wo", "rms_ffn", "w1", "w2", "w3")
@@ -210,22 +266,41 @@ def forward(
     }
     layer_stack = {k: params[k] for k in keys if k not in stacked}
 
+    kv_quant = "k_scale" in cache
+
     def body(carry, xs):
         x = carry
-        idx, layer_params, k_c, v_c = xs
+        if kv_quant:
+            idx, layer_params, k_c, ks_c, v_c, vs_c = xs
+        else:
+            idx, layer_params, k_c, v_c = xs
+            ks_c = vs_c = None
         lp = {**layer_params, **stacked}
-        x, k_c, v_c = _layer(
+        x, k_c, v_c, ks_c, vs_c = _layer(
             x, lp, k_c, v_c, pos, cos, sin, config, precision, backend,
-            idx if stacked else None,
+            idx if stacked else None, ks_c, vs_c,
         )
+        if kv_quant:
+            return x, (k_c, ks_c, v_c, vs_c)
         return x, (k_c, v_c)
 
     idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (idxs, layer_stack, cache["k"], cache["v"]), unroll=unroll
-    )
+    if kv_quant:
+        xs = (idxs, layer_stack, cache["k"], cache["k_scale"],
+              cache["v"], cache["v_scale"])
+        x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
+            body, x, xs, unroll=unroll
+        )
+        new_cache = {
+            "k": k_new, "k_scale": ks_new, "v": v_new, "v_scale": vs_new
+        }
+    else:
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (idxs, layer_stack, cache["k"], cache["v"]), unroll=unroll
+        )
+        new_cache = {"k": k_new, "v": v_new}
     x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
-    return x, {"k": k_new, "v": v_new}
+    return x, new_cache
 
 
 def logits_from_hidden(

@@ -1,0 +1,245 @@
+"""Flash decode attention over an INT8-quantized KV cache.
+
+KV-cache quantization (per-row scales) cuts decode-attention HBM traffic and
+cache footprint 4x vs fp32 — the long-context serving lever (the weights are
+already INT8 on that path; at 8K+ context the KV stream becomes the
+bandwidth term that matters).
+
+TPU-native trick: the dequant never touches the streamed blocks
+elementwise-with-scales. int8→bf16 conversion is EXACT (bf16's 8-bit
+mantissa covers [-127, 127]), and the per-ROW scales fold into
+score/probability vectors instead:
+
+    scores[g, t] = (q_bf16 · k8_bf16[t]) * k_scale[t] * (1/sqrt(hs))
+    out[g]      += Σ_t (p[g, t] * v_scale[t]) · v8_bf16[t]
+
+so the VPU does one exact convert per element plus O(block) scale
+multiplies, and both contractions stay on the MXU. Same online softmax and
+double-buffered DMA as :mod:`llama2_tpu.ops.pallas.attention`.
+
+Quantization: per (position, kv-head) row, ``scale = max|row| / 127``
+(symmetric, like Q8_0 but per-row) — see :func:`quantize_kv_rows`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llama2_tpu.ops.pallas.common import interpret_default
+
+NEG_INF = float("-inf")
+
+
+def quantize_kv_rows(rows: jax.Array):
+    """Per-row symmetric int8: rows (..., hs) → (int8 rows, f32 scales (...))."""
+    amax = jnp.max(jnp.abs(rows), axis=-1)
+    scale = amax / 127.0
+    safe = jnp.maximum(scale, 1e-20)[..., None]
+    q = jnp.clip(jnp.round(rows / safe), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array) -> jax.Array:
+    """Inverse of :func:`quantize_kv_rows` (oracle/tests)."""
+    return q.astype(jnp.float32) * scale[..., None]
+
+
+def _kernel(
+    pos_ref,  # (B,) int32 scalar prefetch
+    q_ref,  # (1, G, hs) VMEM
+    k_hbm,  # (B, KVH, S, hs) int8 HBM
+    ks_hbm,  # (B, KVH, S) f32 HBM
+    v_hbm,
+    vs_hbm,
+    o_ref,  # (1, G, hs) VMEM
+    k_buf,  # (2, block_s, hs) int8 scratch
+    ks_buf,  # (2, 1, block_s) f32 scratch
+    v_buf,
+    vs_buf,
+    sems,  # (2, 4)
+    *,
+    block_s: int,
+    scale: float,
+    lane: int = 128,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    pos = pos_ref[b]
+    n_blocks = jax.lax.div(pos, block_s) + 1
+
+    def dma(slot, blk, src, dst, sem):
+        return pltpu.make_async_copy(src, dst, sem)
+
+    def k_dma(slot, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(blk * block_s, block_s), :],
+            k_buf.at[slot], sems.at[slot, 0],
+        )
+
+    # scale arrays arrive as (B, KVH, S/lane, lane): KVH must stay OUTSIDE
+    # the last-two (tiled) dims or Mosaic rejects the single-head slice
+    rows = block_s // lane
+
+    def ks_dma(slot, blk):
+        return pltpu.make_async_copy(
+            ks_hbm.at[b, h, pl.ds(blk * rows, rows), :],
+            ks_buf.at[slot], sems.at[slot, 1],
+        )
+
+    def v_dma(slot, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(blk * block_s, block_s), :],
+            v_buf.at[slot], sems.at[slot, 2],
+        )
+
+    def vs_dma(slot, blk):
+        return pltpu.make_async_copy(
+            vs_hbm.at[b, h, pl.ds(blk * rows, rows), :],
+            vs_buf.at[slot], sems.at[slot, 3],
+        )
+
+    for d in (k_dma, ks_dma, v_dma, vs_dma):
+        d(0, 0).start()
+
+    q = q_ref[0].astype(jnp.bfloat16)  # (G, hs); int8 cache path is bf16-dot
+    G, hs = q.shape
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            for d in (k_dma, ks_dma, v_dma, vs_dma):
+                d(nxt, i + 1).start()
+
+        for d in (k_dma, ks_dma, v_dma, vs_dma):
+            d(slot, i).wait()
+
+        k = k_buf[slot].astype(jnp.bfloat16)  # exact int8 -> bf16
+        ks = ks_buf[slot].reshape(1, block_s)  # (rows, 128) -> (1, bs)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, bs) raw int-scale scores
+        s = s * (ks * scale)
+        t = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
+        s = jnp.where(t <= pos, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)  # (G, bs) f32
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = v_buf[slot].astype(jnp.bfloat16)
+        vs = vs_buf[slot].reshape(1, block_s)
+        pv = jax.lax.dot_general(
+            (p * vs).astype(jnp.bfloat16), v,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G, 1), jnp.float32)
+    acc0 = jnp.zeros((G, hs), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_s", "interpret", "lane")
+)
+def _flash_decode_q8(
+    q, k8, ks, v8, vs, pos, scale: float, block_s: int, interpret: bool,
+    lane: int,
+):
+    B, H, hs = q.shape
+    KVH, S = k8.shape[1], k8.shape[2]
+    G = H // KVH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KVH),
+        in_specs=[
+            pl.BlockSpec(
+                (1, G, hs),
+                lambda b, h, pos_ref: (b * pl.num_programs(1) + h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, hs),
+            lambda b, h, pos_ref: (b * pl.num_programs(1) + h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, hs), jnp.int8),
+            pltpu.VMEM((2, block_s // lane, lane), jnp.float32),
+            pltpu.VMEM((2, block_s, hs), jnp.int8),
+            pltpu.VMEM((2, block_s // lane, lane), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    q3 = q.reshape(B * KVH, G, hs)
+    # scales (B, KVH, S) -> (B, KVH, S/lane, lane): keep KVH out of the
+    # tiled last-two dims so the per-head DMA slice is layout-legal
+    ks4 = ks.reshape(B, KVH, S // lane, lane)
+    vs4 = vs.reshape(B, KVH, S // lane, lane)
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_s=block_s, scale=scale, lane=lane),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * KVH, G, hs), q.dtype),
+        interpret=interpret,
+    )(pos, q3, k8, ks4, v8, vs4)
+    return out.reshape(B, H, hs)
+
+
+def flash_decode_attention_q8(
+    q: jax.Array,
+    k8: jax.Array,  # (B, KVH, S, hs) int8
+    k_scale: jax.Array,  # (B, KVH, S) f32
+    v8: jax.Array,
+    v_scale: jax.Array,
+    pos,
+    *,
+    scale: float | None = None,
+    block_s: int = 1024,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Decode attention over the quantized cache; same contract as
+    flash_decode_attention (q (B, 1, H, hs) or (B, H, hs), hs % 128 == 0
+    compiled)."""
+    squeeze = False
+    if q.ndim == 4:
+        if q.shape[1] != 1:
+            raise ValueError("flash_decode_attention_q8 is single-query (T=1)")
+        q = q[:, 0]
+        squeeze = True
+    if interpret is None:
+        interpret = interpret_default()
+    hs = q.shape[-1]
+    if not interpret and hs % 128 != 0:
+        raise ValueError(f"q8 flash decode requires head_size % 128 == 0 (got {hs})")
+    S = k8.shape[2]
+    if not interpret and S % 128 != 0:
+        raise ValueError(f"q8 flash decode requires seq_len % 128 == 0 (got {S})")
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    lane = 128 if not interpret else min(128, S)
+    bs = min(block_s, max(256, S // 4), S)
+    while S % bs != 0 or bs % lane != 0:
+        bs //= 2
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],))
+    out = _flash_decode_q8(
+        q, k8, k_scale, v8, v_scale, pos_vec, float(scale), bs, interpret, lane
+    )
+    return out[:, None] if squeeze else out

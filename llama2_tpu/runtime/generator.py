@@ -119,11 +119,13 @@ class Generator:
         precision=jax.lax.Precision.HIGHEST,
         backend: str = "xla",
         layer_unroll: int | None = None,
+        kv_quant: bool = False,
     ):
         self.config = config
         self.dtype = jnp.dtype(dtype)
         self.precision = precision
         self.backend = backend
+        self.kv_quant = kv_quant
         # Fully unroll the layer scan for small models (scan-trip overhead
         # dominates there; measured 1.6x fp32 and 1.4x INT8 on stories15M).
         # Keep the rolled scan for deep models: the layer math amortizes the
@@ -203,7 +205,10 @@ class Generator:
             )
 
         t0 = time.perf_counter()
-        cache = init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
+        cache = init_cache(
+            config, 1, self.dtype, lane_pad=self.lane_pad,
+            kv_quant=self.kv_quant,
+        )
         feed = np.asarray([BOS] + prompt, dtype=np.int32)  # positions 0..P
         chunk = prefill_chunk or len(feed)
         pos = 0
