@@ -34,6 +34,7 @@ TPU options:
  --platform <name>         force a jax platform (e.g. cpu), default = env
  --kernels <xla|pallas>    compute path for quantized matmuls, default xla
  --kv-cache <f32|int8>     KV cache storage (int8: 4x less attention traffic)
+ --spec <int>              greedy speculative decoding window (exact; 0 = off)
  --save-cache <dir>        write the loaded params to a fast-load cache dir
  --warmup                  run a warmup generate so tokens/s excludes compile
 """
@@ -62,6 +63,7 @@ def parse_args(argv: list[str]) -> dict | None:
         "dtype": "f32",
         "quant": "none",
         "kv_cache": "f32",
+        "spec": 0,
         "prefill_chunk": None,
         "profile": None,
         "platform": None,
@@ -120,6 +122,12 @@ def parse_args(argv: list[str]) -> dict | None:
             if val not in ("f32", "bf16"):
                 _die(f"unable to parse --dtype argument '{val}'")
             opts["dtype"] = val
+        elif arg == "--spec":
+            val, i = take_value(i, "spec")
+            try:
+                opts["spec"] = int(val)
+            except ValueError:
+                _die(f"unable to parse --spec argument '{val}'")
         elif arg == "--kv-cache":
             val, i = take_value(i, "kv-cache")
             if val not in ("f32", "int8"):
@@ -213,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
     generator = Generator(
         config, params, dtype=dtype, precision=precision,
         backend=opts["kernels"], kv_quant=opts["kv_cache"] == "int8",
+        speculative=opts["spec"],
     )
 
     gen = GenerationConfig(

@@ -108,6 +108,105 @@ def _decode_loop(
     return out_buf, cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend", "unroll", "d"),
+    donate_argnames=("cache",),
+)
+def _spec_decode_loop(
+    params,
+    cache,  # KV cache padded past seq_len (draft overshoot space)
+    logits0,
+    out_buf0,  # (seq_len,) int32: prompt tokens at [0, start_pos), -1 after
+    start_pos,
+    steps,
+    *,
+    config: ModelConfig,
+    precision,
+    backend: str,
+    unroll: int = 1,
+    d: int = 4,
+):
+    """Greedy decode with EXACT self-speculation (prompt-lookup drafting).
+
+    Each trip commits up to ``d`` tokens with ONE T=d forward pass: token 0
+    is the argmax of the carried logits (always correct); tokens 1..d-1 are
+    drafted by finding the latest occurrence of token 0 in the emitted
+    history (prompt included) and proposing its continuation; the forward
+    pass verifies drafts in parallel and the longest correct prefix is
+    accepted. Weights stream once per trip instead of once per token, so
+    throughput scales with the text's self-similarity while the token
+    sequence is provably identical to plain greedy decoding.
+
+    Numerics caveat: "identical" holds when the T=1 and T=d forwards agree
+    on every argmax. On the fp32/XLA path they do (verified token-exact on
+    v5e over 256 steps); the fast INT8 pallas kernels round activations to
+    bf16 and the T=1/T=d attention kernels reduce in different orders, so a
+    genuine near-tie (observed gap ~0.2%) can resolve differently — both
+    streams are valid greedy decodes within kernel precision (the reference
+    itself builds with fast-math, SURVEY.md section 2 numerics note).
+
+    out_buf doubles as the lookup history: positions < start_pos hold the
+    prompt, position p >= start_pos holds the token emitted at p.
+    """
+    S = config.seq_len
+    idx = jnp.arange(S)
+
+    def cond(state):
+        pos, _, _, _, done = state
+        return jnp.logical_and(pos < steps, jnp.logical_not(done))
+
+    def body(state):
+        pos, logits, cache, out_buf, _ = state
+        first = jnp.argmax(logits[0, -1, :]).astype(jnp.int32)
+
+        # prompt-lookup draft: continuation of the latest `first` in history
+        match = (out_buf == first) & (idx < pos - 1)
+        j = jnp.max(jnp.where(match, idx, -1))
+        drafts = []
+        for k in range(d - 1):
+            t = out_buf[jnp.clip(j + 1 + k, 0, S - 1)]
+            drafts.append(jnp.where((j >= 0) & (t >= 0), t, first))
+        seg = jnp.concatenate([first[None], jnp.stack(drafts)])  # (d,)
+
+        hidden, cache = forward(
+            params, cache, seg[None, :], pos + 1, config, precision,
+            backend, unroll,
+        )
+        lg = logits_from_hidden(params, hidden, precision, backend)
+        targets = jnp.argmax(lg[0], axis=-1).astype(jnp.int32)  # (d,)
+
+        ok = seg[1:] == targets[:-1]
+        acc = 1 + jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
+
+        emit_idx = jnp.arange(d)
+        is_bos = seg == BOS
+        before_bos = (jnp.cumsum(is_bos.astype(jnp.int32)) - is_bos) == 0
+        keep = (
+            (emit_idx < acc)
+            & before_bos
+            & ~is_bos
+            & (pos + emit_idx < steps)  # reference's -n budget, exactly
+        )
+        n_emit = jnp.sum(keep.astype(jnp.int32))
+
+        def write(k, ob):
+            return jnp.where(
+                keep[k], ob.at[jnp.clip(pos + k, 0, S - 1)].set(seg[k]), ob
+            )
+
+        out_buf = jax.lax.fori_loop(0, d, write, out_buf)
+        last = jnp.clip(n_emit - 1, 0, d - 1)
+        logits = jax.lax.dynamic_slice_in_dim(lg, last, 1, axis=1)
+        done = n_emit < acc  # BOS inside window or budget reached early
+        done = done | jnp.any((emit_idx < acc) & is_bos)
+        return pos + n_emit, logits, cache, out_buf, done
+
+    init = (start_pos, logits0, cache, out_buf0, jnp.bool_(False))
+    _, _, cache, out_buf, _ = jax.lax.while_loop(cond, body, init)
+    return out_buf, cache
+
+
 class Generator:
     """Owns jitted prefill/decode for one model; host API for the CLI/server."""
 
@@ -120,12 +219,17 @@ class Generator:
         backend: str = "xla",
         layer_unroll: int | None = None,
         kv_quant: bool = False,
+        speculative: int = 0,
     ):
         self.config = config
         self.dtype = jnp.dtype(dtype)
         self.precision = precision
         self.backend = backend
         self.kv_quant = kv_quant
+        # speculative >= 2: greedy decode commits up to this many tokens per
+        # forward pass via prompt-lookup drafting — token stream provably
+        # identical to plain greedy (argmax mode only; ignored otherwise)
+        self.speculative = speculative
         # Fully unroll the layer scan for small models (scan-trip overhead
         # dominates there; measured 1.6x fp32 and 1.4x INT8 on stories15M).
         # Keep the rolled scan for deep models: the layer math amortizes the
@@ -204,11 +308,25 @@ class Generator:
                 tokens_per_sec=0.0,
             )
 
+        spec = (
+            self.speculative
+            if self.speculative >= 2 and mode == sampling.ARGMAX
+            else 0
+        )
         t0 = time.perf_counter()
         cache = init_cache(
             config, 1, self.dtype, lane_pad=self.lane_pad,
             kv_quant=self.kv_quant,
         )
+        if spec:
+            # pad the cache past seq_len so a draft window starting at the
+            # final position never clamps onto real KV rows; 128 keeps the
+            # padded length tile-aligned for the pallas prefill kernels
+            pad = max(spec, 128 if self.backend == "pallas" else spec)
+            cache = {
+                k: jnp.pad(v, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (v.ndim - 4))
+                for k, v in cache.items()
+            }
         feed = np.asarray([BOS] + prompt, dtype=np.int32)  # positions 0..P
         chunk = prefill_chunk or len(feed)
         pos = 0
@@ -220,22 +338,46 @@ class Generator:
         jax.block_until_ready(logits)
         t_prefill = time.perf_counter()
 
-        out_buf, cache = _decode_loop(
-            self.params,
-            cache,
-            logits,
-            jnp.int32(len(prompt)),
-            jnp.int32(steps),
-            jnp.float32(gen.temperature if gen.temperature != 0 else 1.0),
-            jnp.float32(top_p),
-            key,
-            config=config,
-            precision=self.precision,
-            mode=mode,
-            backend=self.backend,
-            unroll=self.layer_unroll,
-        )
-        out = np.asarray(out_buf)
+        if spec:
+            out_buf0 = jnp.asarray(
+                np.concatenate(
+                    [
+                        np.asarray(prompt, np.int32),
+                        np.full(config.seq_len - len(prompt), -1, np.int32),
+                    ]
+                )
+            )
+            out_buf, cache = _spec_decode_loop(
+                self.params,
+                cache,
+                logits,
+                out_buf0,
+                jnp.int32(len(prompt)),
+                jnp.int32(steps),
+                config=config,
+                precision=self.precision,
+                backend=self.backend,
+                unroll=self.layer_unroll,
+                d=spec,
+            )
+            out = np.asarray(out_buf)[len(prompt):]
+        else:
+            out_buf, cache = _decode_loop(
+                self.params,
+                cache,
+                logits,
+                jnp.int32(len(prompt)),
+                jnp.int32(steps),
+                jnp.float32(gen.temperature if gen.temperature != 0 else 1.0),
+                jnp.float32(top_p),
+                key,
+                config=config,
+                precision=self.precision,
+                mode=mode,
+                backend=self.backend,
+                unroll=self.layer_unroll,
+            )
+            out = np.asarray(out_buf)
         t1 = time.perf_counter()
         generated = [int(t) for t in out if t >= 0]
         tokens = prompt + generated
