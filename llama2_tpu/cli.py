@@ -128,6 +128,8 @@ def parse_args(argv: list[str]) -> dict | None:
                 opts["spec"] = int(val)
             except ValueError:
                 _die(f"unable to parse --spec argument '{val}'")
+            if opts["spec"] < 0 or opts["spec"] == 1 or opts["spec"] > 64:
+                _die("--spec must be 0 (off) or 2..64 (draft window)")
         elif arg == "--kv-cache":
             val, i = take_value(i, "kv-cache")
             if val not in ("f32", "int8"):
@@ -230,6 +232,9 @@ def main(argv: list[str] | None = None) -> int:
         steps=opts["seq_len"],
         seed=opts["seed"],
     )
+
+    if opts["spec"] >= 2 and (opts["temperature"] != 0.0):
+        log("note: --spec applies to greedy decoding only (-t 0); ignored")
 
     if opts["warmup"]:
         generator.generate([], GenerationConfig(temperature=0.0, steps=2, seed=0))

@@ -140,13 +140,22 @@ def _layer(
 
     scale = 1.0 / (hs**0.5)  # real head size, not the lane-padded one
     if kv_quant:
-        if backend == "pallas" and T == 1 and hs_c % 128 == 0:
+        # T <= 16: decode steps and speculative verify windows; longer
+        # segments (prefill) take the dequant fallback — a one-off cost,
+        # and the kernel's (T*G, hs) query block must stay VMEM-sized
+        if backend == "pallas" and hs_c % 128 == 0 and T <= 16 and (
+            pos.ndim == 0 or T == 1
+        ):
             from llama2_tpu.ops.pallas.attention_q8 import (
                 flash_decode_attention_q8,
             )
 
+            # the kernel takes the LAST query row's position; a T>1 call is
+            # a speculative verify window at positions pos..pos+T-1
             att = flash_decode_attention_q8(
-                q, k_cache, ks_cache, v_cache, vs_cache, pos, scale=scale
+                q, k_cache, ks_cache, v_cache, vs_cache,
+                pos + (T - 1) if pos.ndim == 0 else pos,
+                scale=scale,
             )
         else:
             # oracle/fallback: dequantize and reuse the fp paths

@@ -66,10 +66,11 @@ def _kernel(
     block_s: int,
     scale: float,
     lane: int = 128,
+    t_rows: int = 1,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
-    pos = pos_ref[b]
+    pos = pos_ref[b]  # position of the LAST query row
     n_blocks = jax.lax.div(pos, block_s) + 1
 
     def dma(slot, blk, src, dst, sem):
@@ -106,8 +107,14 @@ def _kernel(
     for d in (k_dma, ks_dma, v_dma, vs_dma):
         d(0, 0).start()
 
-    q = q_ref[0].astype(jnp.bfloat16)  # (G, hs); int8 cache path is bf16-dot
-    G, hs = q.shape
+    # q rows are (T*G): row r is query-token r // G, group head r % G; its
+    # causal horizon is pos - (T-1) + r//G (the last row sits at `pos`)
+    q = q_ref[0].astype(jnp.bfloat16)  # (T*G, hs); int8 path is bf16-dot
+    R, hs = q.shape
+    G = R // t_rows
+    row_pos = pos - (t_rows - 1) + (
+        jax.lax.broadcasted_iota(jnp.int32, (R, block_s), 0) // G
+    )
 
     def body(i, carry):
         m, l, acc = carry
@@ -128,8 +135,8 @@ def _kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (G, bs) raw int-scale scores
         s = s * (ks * scale)
-        t = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
-        s = jnp.where(t <= pos, s, NEG_INF)
+        t = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (R, block_s), 1)
+        s = jnp.where(t <= row_pos, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -144,9 +151,9 @@ def _kernel(
         acc_new = acc * alpha + pv
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    acc0 = jnp.zeros((G, hs), jnp.float32)
+    m0 = jnp.full((R, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((R, 1), jnp.float32)
+    acc0 = jnp.zeros((R, hs), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
@@ -158,16 +165,17 @@ def _flash_decode_q8(
     q, k8, ks, v8, vs, pos, scale: float, block_s: int, interpret: bool,
     lane: int,
 ):
-    B, H, hs = q.shape
+    B, T, H, hs = q.shape
     KVH, S = k8.shape[1], k8.shape[2]
     G = H // KVH
+    R = T * G
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, KVH),
         in_specs=[
             pl.BlockSpec(
-                (1, G, hs),
+                (1, R, hs),
                 lambda b, h, pos_ref: (b * pl.num_programs(1) + h, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -177,7 +185,7 @@ def _flash_decode_q8(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, G, hs),
+            (1, R, hs),
             lambda b, h, pos_ref: (b * pl.num_programs(1) + h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -189,18 +197,29 @@ def _flash_decode_q8(
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
-    q3 = q.reshape(B * KVH, G, hs)
+    # (B, T, H, hs) -> (B*KVH, T*G, hs), rows token-major within a group
+    q3 = (
+        q.reshape(B, T, KVH, G, hs)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B * KVH, R, hs)
+    )
     # scales (B, KVH, S) -> (B, KVH, S/lane, lane): keep KVH out of the
     # tiled last-two dims so the per-head DMA slice is layout-legal
     ks4 = ks.reshape(B, KVH, S // lane, lane)
     vs4 = vs.reshape(B, KVH, S // lane, lane)
     out = pl.pallas_call(
-        functools.partial(_kernel, block_s=block_s, scale=scale, lane=lane),
+        functools.partial(
+            _kernel, block_s=block_s, scale=scale, lane=lane, t_rows=T
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * KVH, G, hs), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * KVH, R, hs), q.dtype),
         interpret=interpret,
     )(pos, q3, k8, ks4, v8, vs4)
-    return out.reshape(B, H, hs)
+    return (
+        out.reshape(B, KVH, T, G, hs)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, T, H, hs)
+    )
 
 
 def flash_decode_attention_q8(
@@ -215,14 +234,16 @@ def flash_decode_attention_q8(
     block_s: int = 1024,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Decode attention over the quantized cache; same contract as
-    flash_decode_attention (q (B, 1, H, hs) or (B, H, hs), hs % 128 == 0
-    compiled)."""
+    """Decode attention over the quantized cache.
+
+    q: (B, T, H, hs) or (B, H, hs). ``pos`` is the position of the LAST
+    query row; row t attends [0, pos - (T-1) + t] — a T>1 call is a
+    speculative verify window whose keys were just written at positions
+    pos-T+1..pos. hs % 128 == 0 when compiled.
+    """
     squeeze = False
-    if q.ndim == 4:
-        if q.shape[1] != 1:
-            raise ValueError("flash_decode_attention_q8 is single-query (T=1)")
-        q = q[:, 0]
+    if q.ndim == 3:
+        q = q[:, None]
         squeeze = True
     if interpret is None:
         interpret = interpret_default()
@@ -242,4 +263,4 @@ def flash_decode_attention_q8(
     out = _flash_decode_q8(
         q, k8, k_scale, v8, v_scale, pos_vec, float(scale), bs, interpret, lane
     )
-    return out[:, None] if squeeze else out
+    return out[:, 0] if squeeze else out

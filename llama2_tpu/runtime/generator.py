@@ -198,8 +198,9 @@ def _spec_decode_loop(
         out_buf = jax.lax.fori_loop(0, d, write, out_buf)
         last = jnp.clip(n_emit - 1, 0, d - 1)
         logits = jax.lax.dynamic_slice_in_dim(lg, last, 1, axis=1)
-        done = n_emit < acc  # BOS inside window or budget reached early
-        done = done | jnp.any((emit_idx < acc) & is_bos)
+        # n_emit < acc iff a BOS or the -n budget cut the accepted prefix
+        # (a BOS at index b < acc zeroes keep from b on, so n_emit <= b)
+        done = n_emit < acc
         return pos + n_emit, logits, cache, out_buf, done
 
     init = (start_pos, logits0, cache, out_buf0, jnp.bool_(False))
@@ -320,9 +321,12 @@ class Generator:
         )
         if spec:
             # pad the cache past seq_len so a draft window starting at the
-            # final position never clamps onto real KV rows; 128 keeps the
-            # padded length tile-aligned for the pallas prefill kernels
-            pad = max(spec, 128 if self.backend == "pallas" else spec)
+            # final position never clamps onto real KV rows; on pallas the
+            # pad rounds UP to a 128 multiple so the padded length stays
+            # tile-aligned for the flash kernels' block pickers
+            pad = spec
+            if self.backend == "pallas":
+                pad = -(-max(spec, 128) // 128) * 128
             cache = {
                 k: jnp.pad(v, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (v.ndim - 4))
                 for k, v in cache.items()

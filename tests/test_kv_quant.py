@@ -49,6 +49,29 @@ def test_q8_flash_decode_vs_dequant_oracle(pos, gqa):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
 
 
+@pytest.mark.parametrize("T", [2, 4])
+def test_q8_flash_window_vs_oracle(T):
+    """T>1 verify-window rows: row t attends [0, last - (T-1) + t]."""
+    B, S, hs, KVH, H = 1, 32, 16, 2, 4
+    last = 19
+    rng = np.random.default_rng(T)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hs), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((B, KVH, S, hs), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((B, KVH, S, hs), dtype=np.float32))
+    k8, ks = quantize_kv_rows(k)
+    v8, vs = quantize_kv_rows(v)
+
+    got = flash_decode_attention_q8(q, k8, ks, v8, vs, last)
+    kd, vd = dequantize_kv(k8, ks), dequantize_kv(v8, vs)
+    # oracle row-by-row with single-query calls
+    for t in range(T):
+        want = ops.attention(q[:, t : t + 1], kd, vd, last - (T - 1) + t)
+        np.testing.assert_allclose(
+            np.asarray(got[:, t : t + 1]), np.asarray(want), atol=3e-2,
+            err_msg=f"row {t}",
+        )
+
+
 def test_generation_with_q8_cache_tracks_fp32():
     """Full argmax generation with the int8 cache: tokens should track the
     fp32-cache run closely (the cache noise is ~0.4% per row)."""
