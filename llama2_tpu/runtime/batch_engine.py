@@ -63,6 +63,14 @@ class BatchResult:
     total_s: float
 
 
+@partial(jax.jit, static_argnames=("mode",))
+def _first_token(logits, temperature, top_p, key, *, mode: int):
+    """First-token sample on device: the host fetches 4 bytes, not the
+    whole vocab row (a full-logits fetch costs RTT + transfer per
+    admission on a remote transport)."""
+    return sampling.sample(logits, mode, temperature, top_p, key)
+
+
 def _sample_batched(logits, temperature, top_p, use_argmax, key, stochastic=True):
     """Per-slot sampler: argmax or nucleus, selected by runtime flag.
 
@@ -330,10 +338,8 @@ class BatchEngine:
                     remaining = remaining[len(seg):]
                     break
 
-        # sample the first generated token on host from the prefill logits
-        # (one-off; sampler modes as in main.zig:1002-1013)
-        lg = np.asarray(logits)
-        first = self._sample_host(lg, req, pos - 1)
+        # sample the first generated token (device-side; main.zig:1002-1013)
+        first = self._sample_first(logits, req, pos - 1)
         req.ttft_s = time.perf_counter() - req.submitted_at
         req.tokens = list(prompt)
         req.steps = steps
@@ -352,18 +358,21 @@ class BatchEngine:
         self.metrics["requests"] += 1
         self.metrics["ttft"].append(req.ttft_s)
 
-    def _sample_host(self, logits: np.ndarray, req: Request, pos: int) -> int:
+    def _sample_first(self, logits, req: Request, pos: int) -> int:
+        """Sample the first generated token from device logits (scalar fetch)."""
         gen = req.gen
         mode = sampling.choose_mode(gen.temperature, gen.top_p)
-        if mode == sampling.ARGMAX:
-            return int(np.argmax(logits))
         key = jax.random.fold_in(
             jax.random.PRNGKey(gen.seed if gen.seed is not None else 0), pos
         )
-        probs = sampling.probs_from_logits(jnp.asarray(logits), jnp.float32(gen.temperature))
-        if mode == sampling.MULTINOMIAL:
-            return int(sampling.sample_multinomial(probs, key))
-        return int(sampling.sample_top_p(probs, jnp.float32(gen.top_p), key))
+        tok = _first_token(
+            jnp.asarray(logits),
+            jnp.float32(gen.temperature if gen.temperature > 0 else 1.0),
+            jnp.float32(min(max(gen.top_p, 0.0), 1.0)),
+            key,
+            mode=mode,
+        )
+        return int(np.asarray(tok))
 
     def _decode_tick(self):
         key = jax.random.fold_in(self._base_key, self._tick_idx)

@@ -236,7 +236,7 @@ class PagedBatchEngine(BatchEngine):
         )
         self.pool = _dc.replace(self.pool, k=k_pool, v=v_pool)
 
-        first = self._sample_host(np.asarray(logits), req, pos - 1)
+        first = self._sample_first(logits, req, pos - 1)
         req.ttft_s = time.perf_counter() - req.submitted_at
         req.tokens = list(prompt)
         req.steps = steps
