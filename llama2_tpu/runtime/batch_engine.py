@@ -144,7 +144,10 @@ def _tick(
         budget = jnp.where(advance, budget - 1, budget)
         pos = jnp.where(advance, jnp.minimum(pos + 1, config.seq_len - 1), pos)
         tokens = jnp.where(advance, nxt, tokens)
-        active = advance & (budget > 0) & (pos + 1 < config.seq_len)
+        # budget (= steps - emitted so far, steps <= seq_len) bounds the walk,
+        # so no separate seq_len freeze: cutting at pos+1 == seq_len would
+        # drop the final token of a full-length generation
+        active = advance & (budget > 0)
         return (tokens, pos, budget, active, cache), emitted
 
     (tokens, pos, budget, active, cache), emitted = jax.lax.scan(
@@ -152,17 +155,20 @@ def _tick(
     )
     # pack everything the host reads into ONE array: each np.asarray of a
     # device array is a full host round trip on a remote transport
-    packed = jnp.concatenate([emitted, tokens[None], pos[None]], axis=0)
+    packed = jnp.concatenate(
+        [emitted, tokens[None], pos[None], active.astype(jnp.int32)[None]],
+        axis=0,
+    )
     return packed, cache
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "slot_count"),
+    static_argnames=("config", "precision", "backend"),
     donate_argnames=("cache",),
 )
 def _write_prefill(
-    params, cache, seg, pos, slot, *, config, precision, backend, slot_count
+    params, cache, seg, pos, slot, *, config, precision, backend
 ):
     """Prefill a (1, T) segment into batch slot ``slot``; returns last logits.
 
@@ -182,6 +188,8 @@ def _write_prefill(
 
 class BatchEngine:
     """Continuous batching over a fixed pool of KV-cache slots."""
+
+    _DENSE_CACHE = True  # PagedBatchEngine overrides: pools replace slots
 
     def __init__(
         self,
@@ -209,8 +217,14 @@ class BatchEngine:
             else jnp.asarray(a),
             params,
         )
-        lane_pad = backend == "pallas" and config.head_size % 128 != 0
-        self.cache = init_cache(config, batch_size, self.dtype, lane_pad=lane_pad)
+        self.lane_pad = backend == "pallas" and config.head_size % 128 != 0
+        # subclasses with their own KV layout (paged) skip the dense cache:
+        # a B*S allocation made only to be discarded is a needless HBM spike
+        self.cache = (
+            init_cache(config, batch_size, self.dtype, lane_pad=self.lane_pad)
+            if self._DENSE_CACHE
+            else None
+        )
         self.waiting: "queue.Queue[Request]" = queue.Queue()
         self.slots: list[Request | None] = [None] * batch_size
         # host mirrors of device state
@@ -221,7 +235,6 @@ class BatchEngine:
         self._argmax = np.zeros(batch_size, bool)
         self._base_key = jax.random.PRNGKey(default_seed)
         self._tick_idx = 0
-        self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.metrics = {"requests": 0, "tokens": 0, "ttft": []}
@@ -271,8 +284,6 @@ class BatchEngine:
                 self._fail_all(e)
 
     def _fail_all(self, err: Exception):
-        from llama2_tpu.models.llama import init_cache as _ic
-
         for slot, req in enumerate(self.slots):
             if req is not None:
                 req.result_q.put(err)
@@ -283,11 +294,8 @@ class BatchEngine:
             except queue.Empty:
                 break
             req.result_q.put(err)
-        self.cache = _ic(
-            self.config,
-            self.batch_size,
-            self.dtype,
-            lane_pad=self.backend == "pallas" and self.config.head_size % 128 != 0,
+        self.cache = init_cache(
+            self.config, self.batch_size, self.dtype, lane_pad=self.lane_pad
         )
 
     def _step(self):
@@ -332,7 +340,6 @@ class BatchEngine:
                         config=self.config,
                         precision=self.precision,
                         backend=self.backend,
-                        slot_count=self.batch_size,
                     )
                     pos += len(seg)
                     remaining = remaining[len(seg):]
@@ -343,12 +350,13 @@ class BatchEngine:
         req.ttft_s = time.perf_counter() - req.submitted_at
         req.tokens = list(prompt)
         req.steps = steps
-        if first == BOS or pos >= steps:
-            if first != BOS and pos < steps:
-                req.tokens.append(first)
+        if first == BOS:
             self._finish(slot_req=req)
             return
-        req.tokens.append(first)
+        req.tokens.append(first)  # len(prompt) < steps here (echo check)
+        if len(req.tokens) >= steps:
+            self._finish(slot_req=req)
+            return
         self.slots[slot] = req
         self._tokens[slot] = first
         self._pos[slot] = pos
@@ -403,9 +411,10 @@ class BatchEngine:
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
         )
         packed = np.asarray(packed)  # the ONE host sync per decode window
-        emitted = packed[:-2]  # (n_ticks, B)
-        self._tokens = packed[-2].copy()
-        self._pos = packed[-1].copy()
+        emitted = packed[:-3]  # (n_ticks, B)
+        self._tokens = packed[-3].copy()
+        self._pos = packed[-2].copy()
+        still_active = packed[-1].astype(bool)
         for t in range(emitted.shape[0]):
             for slot, req in enumerate(self.slots):
                 if req is None:
@@ -418,11 +427,13 @@ class BatchEngine:
                     self._finish(slot_req=req, slot=slot)
                     continue
                 req.tokens.append(tok)
-                if (
-                    len(req.tokens) >= req.steps
-                    or self._pos[slot] + 1 >= self.config.seq_len
-                ):
+                if len(req.tokens) >= req.steps:
                     self._finish(slot_req=req, slot=slot)
+        # a slot the device froze (e.g. budget exhausted mid-window) but the
+        # replay didn't retire would never emit again: retire it now
+        for slot, req in enumerate(self.slots):
+            if req is not None and not still_active[slot]:
+                self._finish(slot_req=req, slot=slot)
 
     def _finish(self, slot_req: Request, slot: int | None = None):
         if slot is not None:

@@ -339,7 +339,10 @@ class Generator:
             seg = feed[pos : pos + chunk]
             logits, cache = self._prefill(cache, seg, pos)
             pos += len(seg)
-        jax.block_until_ready(logits)
+        # real sync: block_until_ready does not block on this environment's
+        # tunnel transport (CLAUDE.md); a scalar fetch is the sync idiom, so
+        # ttft_s and the reference's after-first-token timer are honest
+        float(logits[0, -1, 0])
         t_prefill = time.perf_counter()
 
         if spec:
@@ -388,7 +391,6 @@ class Generator:
         n = len(tokens)
         decode_s = t1 - t_prefill
         tps = (n - 1) / decode_s if n > 1 and decode_s > 0 else 0.0
-        self._cache = cache  # reusable donated buffer for serving
         return GenerateResult(
             tokens=tokens,
             prompt_len=len(prompt),

@@ -77,14 +77,18 @@ def _tick_paged(
         budget = jnp.where(advance, budget - 1, budget)
         pos = jnp.where(advance, jnp.minimum(pos + 1, config.seq_len - 1), pos)
         tokens = jnp.where(advance, nxt, tokens)
-        active = advance & (budget > 0) & (pos + 1 < config.seq_len)
+        # budget bounds the walk (steps <= seq_len); see batch_engine._tick
+        active = advance & (budget > 0)
         return (tokens, pos, budget, active, k_pool, v_pool), emitted
 
     (tokens, pos, budget, active, k_pool, v_pool), emitted = jax.lax.scan(
         step, (tokens, pos, budget, active, k_pool, v_pool),
         jnp.arange(n_ticks),
     )
-    packed = jnp.concatenate([emitted, tokens[None], pos[None]], axis=0)
+    packed = jnp.concatenate(
+        [emitted, tokens[None], pos[None], active.astype(jnp.int32)[None]],
+        axis=0,
+    )
     return packed, k_pool, v_pool
 
 
@@ -119,6 +123,8 @@ def _stage_write(
 class PagedBatchEngine(BatchEngine):
     """BatchEngine with a paged KV cache (slot planes -> page tables)."""
 
+    _DENSE_CACHE = False  # pools replace slot planes; see BatchEngine
+
     def __init__(
         self,
         config: ModelConfig,
@@ -129,18 +135,14 @@ class PagedBatchEngine(BatchEngine):
         **kw,
     ):
         super().__init__(config, params, batch_size=batch_size, **kw)
-        self.cache = None  # the dense slot cache is replaced by the pool
         self.page_size = page_size
         # default pool: half the dense layout's rows (the paging win)
         if n_pages is None:
             n_pages = max(
                 batch_size, (batch_size * config.seq_len) // (2 * page_size)
             )
-        self._lane_pad = (
-            self.backend == "pallas" and config.head_size % 128 != 0
-        )
         self.pool = PagePool.create(
-            config, n_pages, page_size, self.dtype, lane_pad=self._lane_pad
+            config, n_pages, page_size, self.dtype, lane_pad=self.lane_pad
         )
         # page 0 is the scratch page: inactive slots' table rows are all 0,
         # so their frozen-position decode writes land there and never corrupt
@@ -151,7 +153,7 @@ class PagedBatchEngine(BatchEngine):
         self._tables = np.zeros((batch_size, self.max_pages), np.int32)
         self._slot_pages: list[list[int]] = [[] for _ in range(batch_size)]
         # one dense staging plane for prefill (a single request's worst case)
-        self._staging = init_cache(config, 1, self.dtype, lane_pad=self._lane_pad)
+        self._staging = init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
 
     # ---- overrides ----
 
@@ -168,7 +170,7 @@ class PagedBatchEngine(BatchEngine):
             req.result_q.put(err)
         self.pool = PagePool.create(
             self.config, self.pool.n_pages, self.page_size, self.dtype,
-            lane_pad=self._lane_pad,
+            lane_pad=self.lane_pad,
         )
         self.pool.free = [p for p in self.pool.free if p != 0]
         self._tables[:] = 0
@@ -186,8 +188,17 @@ class PagedBatchEngine(BatchEngine):
         feed = np.asarray([BOS] + prompt, dtype=np.int32)
         # admission control: prompt pages + one spare for decode growth
         need = self.pool.pages_for(len(feed)) + 1
+        if need > self.pool.n_pages - 1:  # minus the reserved scratch page
+            req.result_q.put(
+                OutOfPages(
+                    f"prompt needs {need} pages; pool holds "
+                    f"{self.pool.n_pages - 1} — raise n_pages/page_size"
+                )
+            )
+            return
         if len(self.pool.free) < need:
-            # not enough memory: requeue and let running slots retire first
+            # not enough memory right now: requeue and let running slots
+            # retire first (capacity check above rules out livelock)
             self.waiting.put(req)
             return
 
@@ -240,13 +251,15 @@ class PagedBatchEngine(BatchEngine):
         req.ttft_s = time.perf_counter() - req.submitted_at
         req.tokens = list(prompt)
         req.steps = steps
-        if first == BOS or pos >= steps:
-            if first != BOS and pos < steps:
-                req.tokens.append(first)
+        if first == BOS:
             self.pool.release(pages)
             self._finish(slot_req=req)
             return
-        req.tokens.append(first)
+        req.tokens.append(first)  # len(prompt) < steps here (echo check)
+        if len(req.tokens) >= steps:
+            self.pool.release(pages)
+            self._finish(slot_req=req)
+            return
         self.slots[slot] = req
         self._slot_pages[slot] = pages
         self._tables[slot, : len(pages)] = pages
@@ -333,9 +346,10 @@ class PagedBatchEngine(BatchEngine):
         )
         self.pool.k, self.pool.v = k_pool, v_pool
         packed = np.asarray(packed)  # ONE host sync per window
-        emitted = packed[:-2]
-        self._tokens = packed[-2].copy()
-        self._pos = packed[-1].copy()
+        emitted = packed[:-3]
+        self._tokens = packed[-3].copy()
+        self._pos = packed[-2].copy()
+        still_active = packed[-1].astype(bool)
         for t in range(emitted.shape[0]):
             for slot, req in enumerate(self.slots):
                 if req is None:
@@ -349,12 +363,13 @@ class PagedBatchEngine(BatchEngine):
                     self._finish(slot_req=req, slot=slot)
                     continue
                 req.tokens.append(tok)
-                if (
-                    len(req.tokens) >= req.steps
-                    or self._pos[slot] + 1 >= self.config.seq_len
-                ):
+                if len(req.tokens) >= req.steps:
                     self._release_slot(slot)
                     self._finish(slot_req=req, slot=slot)
+        for slot, req in enumerate(self.slots):
+            if req is not None and not still_active[slot]:
+                self._release_slot(slot)
+                self._finish(slot_req=req, slot=slot)
 
     def _release_slot(self, slot: int):
         self.pool.release(self._slot_pages[slot])

@@ -81,17 +81,24 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, json.JSONDecodeError):
             self._send(400, {"error": "invalid JSON body"})
             return
+        if not isinstance(req, dict):
+            self._send(400, {"error": "body must be a JSON object"})
+            return
 
         prompt = req.get("prompt", "")
         if not isinstance(prompt, str):
             self._send(400, {"error": "prompt must be a string"})
             return
         try:
+            seed = req.get("seed")
+            if seed is not None:
+                seed = int(seed)  # a bad seed must fail HERE, not on the
+                # engine thread, where one request's error fails the batch
             gen = GenerationConfig(
                 temperature=float(req.get("temperature", 1.0)),
                 top_p=min(max(float(req.get("top_p", 0.9)), 0.0), 1.0),
                 steps=int(req.get("steps", 0)),
-                seed=req.get("seed"),
+                seed=seed,
             )
         except (TypeError, ValueError) as e:
             self._send(400, {"error": f"bad parameter: {e}"})
@@ -222,6 +229,7 @@ def main(argv=None):
             page_size=page_size,
             n_pages=n_pages,
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+            ticks_per_sync=ticks,
         )
     else:
         engine = BatchEngine(

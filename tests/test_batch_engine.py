@@ -138,3 +138,32 @@ def test_engine_failure_fails_requests_and_recovers(engine_and_ref, monkeypatch)
         assert len(res2.tokens) >= 1
     finally:
         eng.stop()
+
+
+def test_admission_boundary_prompt_one_below_steps(engine_and_ref):
+    """len(prompt) == steps-1: exactly one sampled token is emitted (the
+    admission used to finish before appending it)."""
+    config, params, ref = engine_and_ref
+    gen = GenerationConfig(temperature=0.0, steps=3)
+    for prompt in ([5, 6], [7, 8]):
+        want = ref.generate(prompt, gen).tokens
+        eng = BatchEngine(config, params, batch_size=2)
+        q = eng.submit(prompt, gen)
+        eng.run_until_idle()
+        assert q.get(timeout=60).tokens == want
+        assert len(want) == 3  # prompt + the boundary token
+
+
+@pytest.mark.parametrize("ticks", [1, 8])
+def test_full_seq_len_generation_matches_generator(engine_and_ref, ticks):
+    """steps == seq_len (-n 0 default): the device freeze must not cut the
+    final token, and mid-window freezes must still retire the slot."""
+    config, params, ref = engine_and_ref
+    gen = GenerationConfig(temperature=0.0, steps=0)  # model max
+    prompt = [9, 4]
+    want = ref.generate(prompt, gen).tokens
+    eng = BatchEngine(config, params, batch_size=2, ticks_per_sync=ticks)
+    q = eng.submit(prompt, gen)
+    eng.run_until_idle()
+    got = q.get(timeout=120).tokens
+    assert got == want, f"ticks={ticks}: {len(got)} vs {len(want)} tokens"

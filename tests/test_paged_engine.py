@@ -96,3 +96,25 @@ def test_scratch_page_never_allocated(setup):
     assert 0 not in eng.pool.free
     got = eng.pool.alloc(len(eng.pool.free))
     assert 0 not in got
+
+
+def test_impossible_prompt_fails_fast(setup):
+    """A prompt that can never fit the pool errors instead of spinning."""
+    from llama2_tpu.runtime.paged_cache import OutOfPages
+
+    config, params, _ = setup
+    eng = PagedBatchEngine(config, params, batch_size=1, page_size=8, n_pages=4)
+    q = eng.submit(list(range(2, 60)), GenerationConfig(temperature=0.0, steps=90))
+    eng.run_until_idle(max_ticks=50)
+    res = q.get(timeout=30)
+    assert isinstance(res, OutOfPages)
+
+
+def test_paged_admission_boundary(setup):
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=3)
+    want = ref.generate([5, 6], gen).tokens
+    eng = PagedBatchEngine(config, params, batch_size=1, page_size=8, n_pages=8)
+    q = eng.submit([5, 6], gen)
+    eng.run_until_idle()
+    assert q.get(timeout=60).tokens == want
