@@ -109,11 +109,11 @@ def paged_forward_step(
                 q, k_pool_l, v_pool_l, table, pos, scale=scale
             )
         att = att[..., :hs_real].reshape(B, 1, config.dim)
-        x = x + linear(att, lp["wo"], precision, backend)
+        x = x + linear(att, lp["wo"], precision, backend, li)
         xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
-        h1 = linear(xb, lp["w1"], precision, backend)
-        h3 = linear(xb, lp["w3"], precision, backend)
-        x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend)
+        h1 = linear(xb, lp["w1"], precision, backend, li)
+        h3 = linear(xb, lp["w3"], precision, backend, li)
+        x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend, li)
         return x, (k_pool_l, v_pool_l)
 
     idxs = jnp.arange(config.n_layers, dtype=jnp.int32)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llama2_tpu.ops.pallas.common import cdiv, interpret_default
+from llama2_tpu.ops.pallas.common import interpret_default
 
 NEG_INF = float("-inf")
 

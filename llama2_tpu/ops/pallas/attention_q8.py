@@ -73,9 +73,6 @@ def _kernel(
     pos = pos_ref[b]  # position of the LAST query row
     n_blocks = jax.lax.div(pos, block_s) + 1
 
-    def dma(slot, blk, src, dst, sem):
-        return pltpu.make_async_copy(src, dst, sem)
-
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
             k_hbm.at[b, h, pl.ds(blk * block_s, block_s), :],
@@ -255,10 +252,27 @@ def flash_decode_attention_q8(
         raise ValueError(f"q8 flash decode requires seq_len % 128 == 0 (got {S})")
     if scale is None:
         scale = 1.0 / (hs**0.5)
-    lane = 128 if not interpret else min(128, S)
-    bs = min(block_s, max(256, S // 4), S)
-    while S % bs != 0 or bs % lane != 0:
-        bs //= 2
+    if interpret:
+        # functional mode: any lane dividing S works; take the largest <=128
+        lane = next(l for l in range(min(128, S), 0, -1) if S % l == 0)
+    else:
+        lane = 128
+        if S % lane != 0:
+            raise ValueError(
+                f"q8 flash decode requires seq_len % 128 == 0 (got {S})"
+            )
+    # largest multiple of `lane` that divides S, capped for pipelining
+    # (halving can skip every legal divisor, e.g. S=2176 -> 544 -> ... -> 0)
+    cap = min(block_s, max(256, S // 4), S)
+    bs = lane
+    k = 1
+    while True:
+        cand = lane * k
+        if cand > cap:
+            break
+        if S % cand == 0:
+            bs = cand
+        k += 1
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],))
     out = _flash_decode_q8(
         q, k8, k_scale, v8, v_scale, pos_vec, float(scale), bs, interpret, lane

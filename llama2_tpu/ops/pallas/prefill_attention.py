@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llama2_tpu.ops.pallas.common import cdiv, interpret_default
+from llama2_tpu.ops.pallas.common import interpret_default
 
 NEG_INF = float("-inf")
 
@@ -176,9 +176,15 @@ def flash_prefill_attention(
     if scale is None:
         scale = 1.0 / (hs**0.5)
     S = k_cache.shape[2]
-    bq = min(block_q, T)
-    while T % bq != 0:
-        bq -= 1
+    # bq must divide T AND give a Mosaic-legal q tile: (bq*G) % 8 == 0 or
+    # bq == T (whole dim). A bare largest-divisor pick produces e.g. bq=67
+    # for T=201 on MHA (G=1), which Mosaic rejects.
+    G = H // k_cache.shape[1]
+    bq = T
+    for cand in range(min(block_q, T), 0, -1):
+        if T % cand == 0 and (cand * G) % 8 == 0:
+            bq = cand
+            break
     bs = min(block_s, S)
     while S % bs != 0:
         bs //= 2

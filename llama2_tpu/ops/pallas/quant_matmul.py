@@ -259,7 +259,7 @@ def quant_matmul_stacked(
 
     bm = block_m or (8 if M <= 8 else min(round_up(M, 8), 256))
     bk = _pick_bk(K, G, block_k)
-    bn = _pick_bn(N, bk, block_n, mode)
+    bn = _pick_bn(N, bk, block_n)
 
     Mp = round_up(M, bm)
     if Mp != M:
@@ -291,7 +291,7 @@ def _pick_bk(K: int, G: int, block_k: int) -> int:
 _FAST_TILE_BYTES = 4 * 1024 * 1024  # bn*bk int8 tile cap (x2 double-buffered)
 
 
-def _pick_bn(N: int, bk: int, block_n: int | None, mode: str) -> int:
+def _pick_bn(N: int, bk: int, block_n: int | None) -> int:
     """Largest 128-multiple divisor of N whose (bn, bk) int8 tile fits.
 
     Bandwidth on v5e rises with tile size until the double-buffered weight
@@ -347,7 +347,7 @@ def quant_matmul(
 
     bm = block_m or (8 if M <= 8 else min(round_up(M, 8), 256))
     bk = _pick_bk(K, G, block_k)
-    bn = _pick_bn(N, bk, block_n, mode)
+    bn = _pick_bn(N, bk, block_n)
 
     Mp = round_up(M, bm)
     if Mp != M:

@@ -40,7 +40,15 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        # jax has used both "already initialized" and "should only be
+        # called once." across versions; both mean we are done
+        msg = str(e).lower()
+        if "already initialized" not in msg and "only be called once" not in msg:
+            raise
+    except ValueError as e:
+        # single host with no coordination env: jax raises
+        # "coordinator_address should be defined" — the documented no-op
+        if "coordinator_address" not in str(e):
             raise
 
 

@@ -37,7 +37,17 @@ def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
     devices = np.asarray(devices[: dp * tp])
     try:
         grid = mesh_utils.create_device_mesh((dp, tp), devices=devices)
-    except Exception:  # CPU simulation or odd topologies: fall back to reshape
+    except (ValueError, NotImplementedError) as e:
+        # CPU simulation / odd topologies have no ICI layout to optimize; on
+        # real hardware a flat reshape can map the model axis across
+        # non-adjacent links, so say it out loud rather than hide it
+        if devices[0].platform != "cpu":
+            import warnings
+
+            warnings.warn(
+                f"create_device_mesh failed ({e}); falling back to a "
+                "topology-ignorant reshape — collectives may cross slow links"
+            )
         grid = devices.reshape(dp, tp)
     return Mesh(grid, AXES)
 

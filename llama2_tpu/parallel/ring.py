@@ -53,7 +53,12 @@ def _chunk_attention_step(q, k, v, acc, row_max, row_sum, q_pos, k_pos, scale):
     group = H // KVH  # GQA: q head h reads kv head h // group (main.zig:291)
 
     qg = q.reshape(B, Tq, KVH, group, hs)
-    scores = jnp.einsum("bqkgh,bskh->bqkgs", qg, k) * scale  # (B,Tq,KVH,g,Tk)
+    # softmax statistics accumulate in f32 regardless of activation dtype —
+    # bf16 running sums over thousands of ring steps drift visibly from the
+    # dense f32-softmax oracle
+    scores = jnp.einsum(
+        "bqkgh,bskh->bqkgs", qg, k, preferred_element_type=jnp.float32
+    ).astype(jnp.float32) * scale  # (B,Tq,KVH,g,Tk)
     mask = (k_pos[None, :] <= q_pos[:, None])[None, :, None, None, :]
     scores = jnp.where(mask, scores, NEG_INF)
 
@@ -62,7 +67,10 @@ def _chunk_attention_step(q, k, v, acc, row_max, row_sum, q_pos, k_pos, scale):
     correction = jnp.exp(row_max - new_max)  # (B, Tq, H)
     p = jnp.exp(scores - new_max.reshape(B, Tq, KVH, group)[..., None])
     new_sum = row_sum * correction + p.sum(axis=-1).reshape(B, Tq, H)
-    pv = jnp.einsum("bqkgs,bskh->bqkgh", p, v).reshape(B, Tq, H, hs)
+    pv = jnp.einsum(
+        "bqkgs,bskh->bqkgh", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).reshape(B, Tq, H, hs).astype(jnp.float32)
     new_acc = acc * correction[..., None] + pv
     return new_acc, new_max, new_sum
 
@@ -77,9 +85,9 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, t_local: int
     # pcast-to-varying: the accumulators start as literal zeros (device-invariant) but
     # the scan writes device-varying values into them; shard_map's
     # varying-axis type system requires the carry declared varying up front.
-    acc = jax.lax.pcast(jnp.zeros((B, Tl, H, hs), q.dtype), (axis_name,), to="varying")
-    row_max = jax.lax.pcast(jnp.full((B, Tl, H), NEG_INF, q.dtype), (axis_name,), to="varying")
-    row_sum = jax.lax.pcast(jnp.zeros((B, Tl, H), q.dtype), (axis_name,), to="varying")
+    acc = jax.lax.pcast(jnp.zeros((B, Tl, H, hs), jnp.float32), (axis_name,), to="varying")
+    row_max = jax.lax.pcast(jnp.full((B, Tl, H), NEG_INF, jnp.float32), (axis_name,), to="varying")
+    row_sum = jax.lax.pcast(jnp.zeros((B, Tl, H), jnp.float32), (axis_name,), to="varying")
 
     perm = [(i, (i + 1) % s_size) for i in range(s_size)]
 
@@ -98,7 +106,7 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, t_local: int
         step, (acc, row_max, row_sum, k, v), jnp.arange(s_size)
     )
     # row_sum is never 0: every query attends at least to itself (diagonal).
-    return acc / row_sum[..., None]
+    return (acc / row_sum[..., None]).astype(q.dtype)
 
 
 def ring_attention(

@@ -40,6 +40,8 @@ def _shard_dim(shape: tuple[int, ...], ndim_specs: list, mesh: Mesh, axis: str, 
     """Assign ``axis`` to the first preferred dim it divides; else replicate."""
     n = _axis_size(mesh, axis)
     for d in prefs:
+        if d >= len(shape):  # e.g. 4-dim kv-quant scale planes
+            continue
         if shape[d] % n == 0 and ndim_specs[d] is None:
             ndim_specs[d] = axis
             return

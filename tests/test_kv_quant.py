@@ -98,3 +98,19 @@ def test_q8_cache_memory_shapes():
     # 4x smaller KV payload (scales add 1/hs overhead)
     dense = init_cache(config, 2)
     assert c["k"].nbytes * 4 == dense["k"].nbytes
+
+
+@pytest.mark.parametrize("S", [96, 160, 200])
+def test_q8_block_picker_awkward_seq_lens(S):
+    """Lane-aligned-but-awkward S (e.g. seq_len + speculative pad) must not
+    crash the block picker (a halving search once reached S % 0)."""
+    B, KVH, H, hs = 1, 2, 2, 16
+    rng = np.random.default_rng(S)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hs), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((B, KVH, S, hs), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((B, KVH, S, hs), dtype=np.float32))
+    k8, ks = quantize_kv_rows(k)
+    v8, vs = quantize_kv_rows(v)
+    got = flash_decode_attention_q8(q, k8, ks, v8, vs, S - 1)
+    want = ops.attention(q, dequantize_kv(k8, ks), dequantize_kv(v8, vs), S - 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)

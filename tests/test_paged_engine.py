@@ -118,3 +118,18 @@ def test_paged_admission_boundary(setup):
     q = eng.submit([5, 6], gen)
     eng.run_until_idle()
     assert q.get(timeout=60).tokens == want
+
+
+def test_paged_engine_quantized_weights(setup):
+    """INT8 stacked weights flow through the paged decode path (the layer
+    index must reach every linear; a miss raises on 3D QuantTensors)."""
+    from llama2_tpu.quant.q8 import quantize_params
+
+    config, params, _ = setup
+    qp = quantize_params(params)
+    gen = GenerationConfig(temperature=0.0, steps=10)
+    ref = Generator(config, qp).generate([7, 12], gen).tokens
+    eng = PagedBatchEngine(config, qp, batch_size=2, page_size=8, n_pages=16)
+    q = eng.submit([7, 12], gen)
+    eng.run_until_idle()
+    assert q.get(timeout=60).tokens == ref
