@@ -146,6 +146,8 @@ def parse_args(argv: list[str]) -> dict | None:
                 opts["prefill_chunk"] = int(val)
             except ValueError:
                 _die(f"unable to parse --prefill-chunk argument '{val}'")
+            if opts["prefill_chunk"] < 1:
+                _die("--prefill-chunk must be >= 1")
         elif arg == "--profile":
             opts["profile"], i = take_value(i, "profile")
         elif arg == "--platform":
@@ -185,7 +187,8 @@ def main(argv: list[str] | None = None) -> int:
     from llama2_tpu.config import GenerationConfig
     from llama2_tpu.io import load_any
     from llama2_tpu.runtime.generator import Generator
-    from llama2_tpu.tokenizer.tokenizer import Tokenizer, BOS
+    from llama2_tpu.tokenizer.fast import load_tokenizer
+    from llama2_tpu.tokenizer.tokenizer import BOS
 
     def log(msg: str):
         if opts["verbose"]:
@@ -200,7 +203,8 @@ def main(argv: list[str] | None = None) -> int:
     log(f"dtype: {opts['dtype']}  quant: {opts['quant']}")
     log("")
 
-    tokenizer = Tokenizer.from_file(opts["tokenizer_path"], config.vocab_size)
+    # native C++ encoder when buildable, byte-identical Python fallback
+    tokenizer = load_tokenizer(opts["tokenizer_path"], config.vocab_size)
 
     prompt_tokens: list[int] = []
     if opts["input"]:
@@ -214,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
     if opts["save_cache"]:
         from llama2_tpu.io.cache import save_cache
 
-        save_cache(opts["save_cache"], config, params)
+        save_cache(opts["save_cache"], config, params, shared)
         log(f"wrote param cache to {opts['save_cache']}")
     dtype = jnp.float32 if opts["dtype"] == "f32" else jnp.bfloat16
     precision = (
@@ -237,7 +241,15 @@ def main(argv: list[str] | None = None) -> int:
         log("note: --spec applies to greedy decoding only (-t 0); ignored")
 
     if opts["warmup"]:
-        generator.generate([], GenerationConfig(temperature=0.0, steps=2, seed=0))
+        # must compile the SAME decode-loop specialization the timed run
+        # uses: the sampler mode is a static jit argument
+        generator.generate(
+            [],
+            GenerationConfig(
+                temperature=opts["temperature"], top_p=opts["top_p"],
+                steps=2, seed=0,
+            ),
+        )
 
     profile_dir = opts["profile"]
     if profile_dir:

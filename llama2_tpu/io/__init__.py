@@ -10,11 +10,14 @@ def load_any(path: str):
     """
     import os
 
-    if os.path.isdir(path):
-        from llama2_tpu.io.cache import load_cache
+    from llama2_tpu.io.cache import is_cache_dir, load_cache
 
-        config, params = load_cache(path)
-        return config, params, False
+    if is_cache_dir(path):
+        return load_cache(path)
+    if os.path.isdir(path):
+        raise ValueError(
+            f"{path} is a directory but not a param cache (no meta.json)"
+        )
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == b"24ka":  # 0x616b3432 little-endian

@@ -8,7 +8,7 @@ leaves as ``<name>.q.npy`` / ``<name>.scale.npy`` pairs — so a restart
 intermediate copy.
 
     save_cache(dir, config, params)
-    config, params = load_cache(dir)
+    config, params, shared = load_cache(dir)
 
 The generate CLI treats a directory checkpoint path as a cache
 (``python -m llama2_tpu model-cache/ ...``) and can write one with
@@ -30,11 +30,14 @@ _META = "meta.json"
 FORMAT_VERSION = 1
 
 
-def save_cache(path: str, config: ModelConfig, params: dict) -> None:
+def save_cache(
+    path: str, config: ModelConfig, params: dict, shared: bool = False
+) -> None:
     os.makedirs(path, exist_ok=True)
     meta = {
         "format_version": FORMAT_VERSION,
         "config": dataclasses.asdict(config),
+        "shared": shared,  # classifier aliases the embedding (v0 sentinel)
         "tensors": {},
     }
     for name, value in params.items():
@@ -50,8 +53,8 @@ def save_cache(path: str, config: ModelConfig, params: dict) -> None:
 
 
 def load_cache(path: str):
-    """Returns ``(config, params)``; arrays are mmapped (zero host copy until
-    device transfer reads them)."""
+    """Returns ``(config, params, shared)``; arrays are mmapped (zero host
+    copy until device transfer reads them)."""
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
     if meta.get("format_version") != FORMAT_VERSION:
@@ -67,7 +70,7 @@ def load_cache(path: str):
             )
         else:
             params[name] = np.load(os.path.join(path, f"{name}.npy"), mmap_mode="r")
-    return config, params
+    return config, params, bool(meta.get("shared", False))
 
 
 def is_cache_dir(path: str) -> bool:

@@ -85,6 +85,19 @@ def load_checkpoint(path: str) -> tuple[ModelConfig, dict, bool]:
     kv = config.kv_dim
     L, D, HD, V, S = n_layers, dim, hidden_dim, vocab_size, seq_len
 
+    # Up-front size check: a mid-weights truncation would otherwise surface
+    # as an opaque reshape error from _take, never the message below.
+    expected = (
+        V * D + L * D + L * D * D + 2 * L * kv * D + L * D * D + L * D
+        + 3 * L * HD * D + D + 2 * S * (hs // 2)
+        + (0 if shared_weights else V * D)
+    )
+    if buf.size < expected:
+        raise ValueError(
+            f"checkpoint truncated: needed {expected} floats, file has "
+            f"{buf.size} ({path})"
+        )
+
     off = 0
     tok_emb, off = _take(buf, off, (V, D))
     rms_att, off = _take(buf, off, (L, D))

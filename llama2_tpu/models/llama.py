@@ -140,12 +140,16 @@ def _layer(
 
     scale = 1.0 / (hs**0.5)  # real head size, not the lane-padded one
     if kv_quant:
+        from llama2_tpu.ops.pallas.common import interpret_default
+
         # T <= 16: decode steps and speculative verify windows; longer
         # segments (prefill) take the dequant fallback — a one-off cost,
-        # and the kernel's (T*G, hs) query block must stay VMEM-sized
+        # and the kernel's (T*G, hs) query block must stay VMEM-sized.
+        # Compiled mode additionally needs S % 128 (lane-whole scale DMA).
+        S_c = k_cache.shape[2]
         if backend == "pallas" and hs_c % 128 == 0 and T <= 16 and (
             pos.ndim == 0 or T == 1
-        ):
+        ) and (S_c % 128 == 0 or interpret_default()):
             from llama2_tpu.ops.pallas.attention_q8 import (
                 flash_decode_attention_q8,
             )

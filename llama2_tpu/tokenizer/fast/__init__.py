@@ -30,13 +30,21 @@ def _load_lib():
         if _lib is not None:
             return _lib
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            # build to a per-pid temp path and rename: another process may be
+            # compiling concurrently, and dlopen of a half-written .so aborts
+            tmp = f"{_SO}.{os.getpid()}.tmp"
             try:
                 subprocess.run(
-                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp, _SO)
             except (OSError, subprocess.CalledProcessError) as e:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
                 raise FastTokenizerUnavailable(f"cannot build fast tokenizer: {e}")
         lib = ctypes.CDLL(_SO)
         lib.l2t_create.restype = ctypes.c_void_p

@@ -47,8 +47,12 @@ int utf8_len(unsigned char b) {
 
 extern "C" {
 
-// Returns nullptr on failure (file missing / truncated).
-void* l2t_create(const char* path, int32_t vocab_size) {
+// Returns nullptr on failure (file missing / truncated / corrupt).
+// No C++ exception may cross this C boundary: allocation sizes read from
+// the file are bounded and the body is wrapped so a corrupt input returns
+// nullptr instead of std::terminate'ing the host process.
+void* l2t_create(const char* path, int32_t vocab_size) try {
+  if (vocab_size <= 0) return nullptr;
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
   auto* t = new Tokenizer();
@@ -66,6 +70,7 @@ void* l2t_create(const char* path, int32_t vocab_size) {
     uint32_t len;
     if (std::fread(&score, 4, 1, f) != 1) return fail();
     if (std::fread(&len, 4, 1, f) != 1) return fail();
+    if (len > (1u << 20)) return fail();  // corrupt length field
     std::string tok(len, '\0');
     if (len && std::fread(tok.data(), 1, len, f) != len) return fail();
     t->scores.push_back(score);
@@ -74,6 +79,8 @@ void* l2t_create(const char* path, int32_t vocab_size) {
   }
   std::fclose(f);
   return t;
+} catch (...) {
+  return nullptr;
 }
 
 void l2t_destroy(void* h) { delete static_cast<Tokenizer*>(h); }

@@ -161,7 +161,7 @@ def main(argv=None) -> int:
             params = quantize_params(params)
         from llama2_tpu.io.cache import save_cache
 
-        save_cache(dst, config, params)
+        save_cache(dst, config, params, shared)
     else:
         if int8:
             print("--int8 requires --cache (v0 .bin is fp32)", file=sys.stderr)

@@ -95,7 +95,7 @@ def test_param_cache_roundtrip(tmp_path):
     save_cache(d, config, params)
     assert is_cache_dir(d)
 
-    config2, loaded = load_cache(d)
+    config2, loaded, _ = load_cache(d)
     assert config2 == config
     for k, v in params.items():
         if isinstance(v, QuantTensor):
