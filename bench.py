@@ -42,7 +42,7 @@ def main() -> None:
     best = 0.0
     n_tokens = 0
     exact = True
-    for _ in range(3):
+    for _ in range(7):  # best-of-N: the tunnel adds multi-ms jitter per run
         res = g.generate([], gen)
         if res.tokens != ref_tokens:
             exact = False
