@@ -12,7 +12,7 @@ loop runs INSIDE one jitted program with a sequential dependency threaded
 through the carry (or XLA hoists the loop-invariant computation), and sync
 is a host fetch of a scalar reduction.
 
-    python benchmarks/kernels.py [rmsnorm|swiglu|quant_matmul|attention|sample|all]
+    python benchmarks/kernels.py [rmsnorm|swiglu|quant_matmul|attention|prefill|sample|all]
 """
 
 from __future__ import annotations
@@ -185,6 +185,35 @@ def bench_attention(iters=300):
             _report(f"attn[S{S},pos{pos}] {name}", dt, nbytes)
 
 
+def bench_prefill(iters=100):
+    """Blockwise causal prefill attention vs the XLA masked path."""
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops import xla as ox
+    from llama2_tpu.ops.pallas.prefill_attention import flash_prefill_attention
+
+    rng = np.random.default_rng(0)
+    B, H, KVH, hs = 1, 32, 4, 128
+    for S, T in ((2048, 2048), (8192, 2048)):
+        q0 = jnp.asarray(rng.standard_normal((B, T, H, hs)).astype(np.float32))
+        k0 = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+        v0 = jnp.asarray(rng.standard_normal((B, KVH, S, hs)).astype(np.float32))
+        # compute-bound: causal scores + AV = 2 ops x 2*H*hs per (q, k<=q)
+        flops = 2 * 2 * H * hs * (T * (T + 1) // 2)
+        for name, f in (
+            ("flash", lambda q, k, v: flash_prefill_attention(
+                q, k, v, 0, interpret=False)),
+            ("xla", lambda q, k, v: ox.attention(q, k, v, T - 1)),
+        ):
+            @jax.jit
+            def loop(q, k, v, f=f):
+                def it(i, c):
+                    q, k, v = c
+                    return (q + f(q, k, v) * 1e-12, k, v)
+                return jax.lax.fori_loop(0, iters, it, (q, k, v))[0]
+            dt = _timed(lambda: loop(q0, k0, v0), iters)
+            _report(f"prefill[T{T},S{S}] {name}", dt, flops=flops)
+
+
 def bench_sample(iters=1000):
     import jax, jax.numpy as jnp
     from llama2_tpu.ops import sampling
@@ -216,6 +245,7 @@ ALL = {
     "swiglu": bench_swiglu,
     "quant_matmul": bench_quant_matmul,
     "attention": bench_attention,
+    "prefill": bench_prefill,
     "sample": bench_sample,
 }
 
