@@ -75,8 +75,17 @@ def _chunk_attention_step(q, k, v, acc, row_max, row_sum, q_pos, k_pos, scale):
     return new_acc, new_max, new_sum
 
 
-def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, t_local: int):
-    """Per-shard body: S online-softmax steps, rotating KV around the ring."""
+def _ring_attention_local(
+    q, k, v, *, axis_name: str, scale: float, t_local: int,
+    extra_varying: tuple = (),
+):
+    """Per-shard body: S online-softmax steps, rotating KV around the ring.
+
+    ``extra_varying``: other mesh axes the q/k/v shards vary over (e.g. the
+    tensor-parallel ``model`` axis when heads are sharded) — shard_map's
+    varying-axis type system needs the scan carry declared varying over the
+    same set as the inputs.
+    """
     B, Tl, H, hs = q.shape
     s_size = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
@@ -85,9 +94,10 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, t_local: int
     # pcast-to-varying: the accumulators start as literal zeros (device-invariant) but
     # the scan writes device-varying values into them; shard_map's
     # varying-axis type system requires the carry declared varying up front.
-    acc = jax.lax.pcast(jnp.zeros((B, Tl, H, hs), jnp.float32), (axis_name,), to="varying")
-    row_max = jax.lax.pcast(jnp.full((B, Tl, H), NEG_INF, jnp.float32), (axis_name,), to="varying")
-    row_sum = jax.lax.pcast(jnp.zeros((B, Tl, H), jnp.float32), (axis_name,), to="varying")
+    axes = (axis_name, *extra_varying)
+    acc = jax.lax.pcast(jnp.zeros((B, Tl, H, hs), jnp.float32), axes, to="varying")
+    row_max = jax.lax.pcast(jnp.full((B, Tl, H), NEG_INF, jnp.float32), axes, to="varying")
+    row_sum = jax.lax.pcast(jnp.zeros((B, Tl, H), jnp.float32), axes, to="varying")
 
     perm = [(i, (i + 1) % s_size) for i in range(s_size)]
 

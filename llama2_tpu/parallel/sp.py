@@ -27,6 +27,7 @@ from jax import shard_map
 from llama2_tpu.config import ModelConfig
 from llama2_tpu.models.llama import _LAYER_KEYS
 from llama2_tpu.ops import xla as ops
+from llama2_tpu.parallel.mesh import MODEL_AXIS
 from llama2_tpu.parallel.ring import _ring_attention_local
 
 SEQ_AXIS = "seq"
@@ -39,6 +40,17 @@ def make_seq_mesh(sp: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:sp]), (SEQ_AXIS,))
 
 
+def make_sp_tp_mesh(sp: int, tp: int, devices=None) -> Mesh:
+    """A 2-D ``(seq, model)`` mesh: ring attention over ``seq`` composes
+    with Megatron-style tensor parallelism over ``model`` (the ring moves
+    activations only, so the axes are independent)."""
+    devices = devices if devices is not None else jax.devices()
+    if sp * tp > len(devices):
+        raise ValueError(f"mesh {sp}x{tp} needs {sp * tp} devices")
+    grid = np.asarray(devices[: sp * tp]).reshape(sp, tp)
+    return Mesh(grid, (SEQ_AXIS, MODEL_AXIS))
+
+
 def _sp_forward_local(
     params: dict,
     tokens: jax.Array,  # (B, Tl) this shard's chunk
@@ -47,10 +59,18 @@ def _sp_forward_local(
     precision,
     t_local: int,
     axis_name: str,
+    model_axis: str | None = None,
 ):
-    """Per-shard body: the whole layer stack on a local chunk + KV ring."""
+    """Per-shard body: the whole layer stack on a local chunk + KV ring.
+
+    With ``model_axis``, weights arrive tensor-sharded (wq/wk/wv/w1/w3 on
+    out-features, wo/w2 on in-features): attention/SwiGLU run on the local
+    head/hidden slice and ONE all-reduce per block (the Megatron pairing)
+    restores the residual — orthogonal to the seq-axis ring, which only
+    moves activations.
+    """
     B, Tl = tokens.shape
-    H, KVH, hs = config.n_heads, config.n_kv_heads, config.head_size
+    hs = config.head_size
     D = config.dim
 
     my = jax.lax.axis_index(axis_name)
@@ -59,22 +79,32 @@ def _sp_forward_local(
 
     x = jnp.take(params["tok_emb"], tokens, axis=0).astype(params["wq"].dtype)
     layer_stack = {k: params[k] for k in _LAYER_KEYS}
+    # local head/hidden counts come from the (possibly sharded) weights
+    H_l = params["wq"].shape[-1] // hs
+    KVH_l = params["wk"].shape[-1] // hs
+
+    def reduce_block(y):
+        return jax.lax.psum(y, model_axis) if model_axis else y
 
     def body(x, lp):
         xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
         mm = lambda a, w: jnp.einsum("btd,de->bte", a, w, precision=precision)
-        q = mm(xb, lp["wq"]).reshape(B, Tl, H, hs)
-        k = mm(xb, lp["wk"]).reshape(B, Tl, KVH, hs)
-        v = mm(xb, lp["wv"]).reshape(B, Tl, KVH, hs)
+        q = mm(xb, lp["wq"]).reshape(B, Tl, H_l, hs)
+        k = mm(xb, lp["wk"]).reshape(B, Tl, KVH_l, hs)
+        v = mm(xb, lp["wv"]).reshape(B, Tl, KVH_l, hs)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
         att = _ring_attention_local(
-            q, k, v, axis_name=axis_name, scale=1.0 / hs**0.5, t_local=t_local
+            q, k, v, axis_name=axis_name, scale=1.0 / hs**0.5,
+            t_local=t_local,
+            extra_varying=(model_axis,) if model_axis else (),
         )
-        x = x + mm(att.reshape(B, Tl, D), lp["wo"])
+        x = x + reduce_block(mm(att.reshape(B, Tl, H_l * hs), lp["wo"]))
         xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
-        x = x + mm(ops.swiglu(mm(xb, lp["w1"]), mm(xb, lp["w3"])), lp["w2"])
-        # cache planes (B, KVH, Tl, hs) for this layer's chunk
+        x = x + reduce_block(
+            mm(ops.swiglu(mm(xb, lp["w1"]), mm(xb, lp["w3"])), lp["w2"])
+        )
+        # cache planes (B, KVH_local, Tl, hs) for this layer's chunk
         return x, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
     x, (k_seg, v_seg) = jax.lax.scan(body, x, layer_stack)
@@ -83,7 +113,8 @@ def _sp_forward_local(
 
 
 @partial(
-    jax.jit, static_argnames=("config", "precision", "mesh", "axis_name")
+    jax.jit,
+    static_argnames=("config", "precision", "mesh", "axis_name", "model_axis"),
 )
 def sp_prefill(
     params: dict,
@@ -92,6 +123,7 @@ def sp_prefill(
     mesh: Mesh,
     precision=jax.lax.Precision.HIGHEST,
     axis_name: str = SEQ_AXIS,
+    model_axis: str | None = None,
 ):
     """Run a (B, T) segment sequence-parallel from position 0.
 
@@ -99,17 +131,36 @@ def sp_prefill(
     T-sharded over ``axis_name``; k_seg/v_seg (L, B, KVH, T, hs) cache
     segments (T-sharded on dim 3). Numerics equal the dense
     :func:`llama2_tpu.models.llama.forward` up to reduction order.
+
+    ``model_axis``: tensor-parallel composition over a 2-D ``(seq, model)``
+    mesh (:func:`make_sp_tp_mesh`) — weights shard Megatron-style, the KV
+    segments come out kv-head-sharded on ``model``, and the ring stays on
+    ``seq``. The model axis size must divide n_kv_heads (and n_heads).
     """
     B, T = tokens.shape
     S = mesh.shape[axis_name]
     if T % S != 0:
         raise ValueError(f"T={T} not divisible by seq shards {S}")
+    if model_axis:
+        tp = mesh.shape[model_axis]
+        if config.n_kv_heads % tp or config.n_heads % tp:
+            raise ValueError(
+                f"model axis {tp} must divide n_heads/n_kv_heads"
+            )
 
+    ma = model_axis
+    col = P(None, None, ma)  # (L, D, out) sharded on out-features
+    row = P(None, ma, None)  # (L, in, D) sharded on in-features
+    param_specs = {
+        "tok_emb": P(), "rms_att": P(), "rms_ffn": P(), "rms_final": P(),
+        "wq": col, "wk": col, "wv": col, "w1": col, "w3": col,
+        "wo": row, "w2": row, "wcls": P(),
+    }
     tok_spec = P(None, axis_name)
     out_specs = (
-        P(None, axis_name, None),  # hidden (B, T, D)
-        P(None, None, None, axis_name, None),  # k_seg (L, B, KVH, T, hs)
-        P(None, None, None, axis_name, None),
+        P(None, axis_name, None),  # hidden (B, T, D), psum'd over model
+        P(None, None, ma, axis_name, None),  # k_seg (L, B, KVH, T, hs)
+        P(None, None, ma, axis_name, None),
     )
     fn = shard_map(
         partial(
@@ -118,9 +169,10 @@ def sp_prefill(
             precision=precision,
             t_local=T // S,
             axis_name=axis_name,
+            model_axis=model_axis,
         ),
         mesh=mesh,
-        in_specs=(P(), tok_spec),
+        in_specs=({k: param_specs.get(k, P()) for k in params}, tok_spec),
         out_specs=out_specs,
     )
     return fn(params, tokens)

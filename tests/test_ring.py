@@ -126,3 +126,34 @@ def test_sp_prefill_then_decode_token_identical():
         if c is cache_sp:
             nxt_sp = nxt
     assert nxt_sp == nxt
+
+
+@pytest.mark.parametrize("sp,tp", [(2, 2), (4, 2), (2, 4)])
+def test_sp_tp_composition_matches_dense(sp, tp):
+    """Ring attention over `seq` composes with Megatron TP over `model` on a
+    2-D mesh: hidden states and KV segments equal the dense forward."""
+    from llama2_tpu.models.llama import forward, init_cache
+    from llama2_tpu.parallel.sp import make_sp_tp_mesh
+
+    config = tiny_config()  # n_heads=4, n_kv_heads=2
+    if config.n_kv_heads % tp:
+        pytest.skip("tp must divide n_kv_heads")
+    params = {k: jnp.asarray(v) for k, v in random_params(config).items()}
+    T = 16
+    rng = np.random.default_rng(13)
+    tokens = jnp.asarray(rng.integers(0, config.vocab_size, (1, T)), jnp.int32)
+    mesh = make_sp_tp_mesh(sp, tp)
+
+    hidden_sp, k_seg, v_seg = sp_prefill(
+        params, tokens, config, mesh, model_axis="model"
+    )
+    hidden, cache_dense = forward(params, init_cache(config, 1), tokens, 0, config)
+
+    np.testing.assert_allclose(
+        np.asarray(hidden_sp), np.asarray(hidden), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_seg[:, :, :, :T]),
+        np.asarray(cache_dense["k"][:, :, :, :T]),
+        atol=2e-5,
+    )
