@@ -54,3 +54,28 @@ def test_pp_rejects_indivisible_layers():
     config, params, tokens = _setup()
     with pytest.raises(ValueError, match="not divisible"):
         pp_prefill(params, tokens, config, make_stage_mesh(2))
+
+
+@pytest.mark.parametrize("stages,tp", [(3, 2), (1, 2)])
+def test_pp_tp_composition_matches_dense(stages, tp):
+    """Pipeline stages of tensor-sharded layers on a (stage, model) mesh."""
+    from llama2_tpu.parallel.pp import make_pp_tp_mesh
+
+    config, params, tokens = _setup()
+    mesh = make_pp_tp_mesh(stages, tp)
+    hidden, k_seg, v_seg = pp_prefill(
+        params, tokens, config, mesh, model_axis="model"
+    )
+    M, B, T = tokens.shape
+    for m in range(M):
+        want_h, want_cache = forward(
+            params, init_cache(config, B), tokens[m], 0, config
+        )
+        np.testing.assert_allclose(
+            np.asarray(hidden[m]), np.asarray(want_h), atol=3e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(k_seg[:, m, :, :, :T]),
+            np.asarray(want_cache["k"][:, :, :, :T]),
+            atol=2e-5,
+        )
