@@ -201,6 +201,7 @@ class BatchEngine:
         backend: str = "xla",
         default_seed: int = 0,
         ticks_per_sync: int = 1,
+        kv_quant: bool = False,
     ):
         self.config = config
         self.batch_size = batch_size
@@ -218,10 +219,15 @@ class BatchEngine:
             params,
         )
         self.lane_pad = backend == "pallas" and config.head_size % 128 != 0
+        # int8 KV cache: 4x more slots per HBM byte (attention_q8 kernel)
+        self.kv_quant = kv_quant
         # subclasses with their own KV layout (paged) skip the dense cache:
         # a B*S allocation made only to be discarded is a needless HBM spike
         self.cache = (
-            init_cache(config, batch_size, self.dtype, lane_pad=self.lane_pad)
+            init_cache(
+                config, batch_size, self.dtype,
+                lane_pad=self.lane_pad, kv_quant=kv_quant,
+            )
             if self._DENSE_CACHE
             else None
         )
@@ -295,7 +301,8 @@ class BatchEngine:
                 break
             req.result_q.put(err)
         self.cache = init_cache(
-            self.config, self.batch_size, self.dtype, lane_pad=self.lane_pad
+            self.config, self.batch_size, self.dtype,
+            lane_pad=self.lane_pad, kv_quant=self.kv_quant,
         )
 
     def _step(self):

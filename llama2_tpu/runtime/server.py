@@ -14,6 +14,7 @@ Endpoints:
 Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8] \
           [--paged [--page-size 256] [--pages N]] [--ticks-per-sync K]
+          [--kv-cache f32|int8]
 
 ``--paged`` switches the KV cache to the paged layout
 (runtime/paged_engine.py): memory scales with tokens in flight instead of
@@ -158,6 +159,7 @@ def main(argv=None):
     page_size = 256
     n_pages = None
     ticks = 1
+    kv_cache = "f32"
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -187,6 +189,12 @@ def main(argv=None):
         elif a == "--ticks-per-sync":
             i += 1
             ticks = int(argv[i])
+        elif a == "--kv-cache":
+            i += 1
+            kv_cache = argv[i]
+            if kv_cache not in ("f32", "int8"):
+                print("--kv-cache must be f32 or int8", file=sys.stderr)
+                return 1
         elif a == "--page-size":
             i += 1
             page_size = int(argv[i])
@@ -238,6 +246,7 @@ def main(argv=None):
             batch_size=batch,
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
             ticks_per_sync=ticks,
+            kv_quant=kv_cache == "int8",
         )
     serve(engine, tokenizer, host, port)
     return 0

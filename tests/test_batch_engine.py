@@ -167,3 +167,21 @@ def test_full_seq_len_generation_matches_generator(engine_and_ref, ticks):
     eng.run_until_idle()
     got = q.get(timeout=120).tokens
     assert got == want, f"ticks={ticks}: {len(got)} vs {len(want)} tokens"
+
+
+def test_engine_with_int8_kv_cache(engine_and_ref):
+    """The int8 KV cache flows through batched prefill + multi-tick decode;
+    tokens track the fp32-cache single stream closely (quant noise only)."""
+    config, params, ref = engine_and_ref
+    gen = GenerationConfig(temperature=0.0, steps=20)
+    prompts = [[5, 17], [7], [320, 9, 44]]
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = BatchEngine(config, params, batch_size=2, kv_quant=True,
+                      ticks_per_sync=4)
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for want, q in zip(expected, queues):
+        got = q.get(timeout=60).tokens
+        agree = sum(a == b for a, b in zip(got, want)) / max(len(want), 1)
+        assert agree >= 0.7, f"{agree=} {got=} {want=}"
