@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=48)
     ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--ticks-per-sync", type=int, default=1)
+    ap.add_argument("--spec", type=int, default=0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -59,6 +60,7 @@ def main() -> None:
         eng = BatchEngine(
             config, params, batch_size=args.batch_size,
             ticks_per_sync=args.ticks_per_sync,
+            spec_window=args.spec,
         )
 
     # mixed-length prompts (tokens drawn uniformly; BOS excluded); prompt
@@ -94,6 +96,8 @@ def main() -> None:
     lat = sorted(r.total_s for r in results)
     ttft = eng.ttft_percentiles()
     mode = ("paged" if args.paged else "dense") + f",K={args.ticks_per_sync}"
+    if args.spec:
+        mode += f",spec={args.spec}"
     print(
         f"serving[{mode}] batch={args.batch_size} requests={args.requests}: "
         f"{total_tokens / wall:8.1f} tok/s aggregate | "

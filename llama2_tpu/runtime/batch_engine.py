@@ -93,6 +93,122 @@ def _sample_batched(logits, temperature, top_p, use_argmax, key, stochastic=True
 
 @partial(
     jax.jit,
+    static_argnames=("config", "precision", "backend", "n_windows", "d"),
+    donate_argnames=("cache",),
+)
+def _tick_spec(
+    params,
+    cache,  # padded past seq_len by >= d rows (draft overshoot space)
+    hist,  # (B, seq_len) int32: per-slot emitted stream (prompt + generated)
+    tokens,  # (B,) last committed token per slot (its KV already written)
+    pos,  # (B,) position of that token
+    budget,  # (B,) tokens each slot may still emit
+    active,  # (B,) bool
+    *,
+    config: ModelConfig,
+    precision,
+    backend: str,
+    n_windows: int = 1,
+    d: int = 4,
+):
+    """Batched greedy speculative decode: each window commits up to ``d``
+    tokens per ACTIVE slot with one (B, d) forward.
+
+    Per slot the window feeds [last_token, draft_1..draft_{d-1}] at
+    positions pos..pos+d-1 (drafts continue the latest occurrence of
+    last_token in the slot's own history — prompt-lookup); targets are the
+    per-position argmaxes, and the emitted tokens are the target prefix
+    whose draft inputs matched. Identical streams to the plain tick by the
+    same argument as generator._spec_decode_loop, per slot.
+
+    When it pays: speculation's win is amortizing the weight stream over
+    committed tokens — which a FULL batch already does across slots.
+    Measured on v5e at batch 8 it LOSES to the plain multi-tick sync
+    (verify compute scales with d while acceptance varies); use it for
+    low-concurrency greedy serving (few active slots), not saturated
+    batches. Defaults off.
+
+    Returns ``(packed, cache)``: packed rows = emitted (n_windows*d, B)
+    then tokens, pos, active — ONE host fetch per sync.
+    """
+    B = tokens.shape[0]
+    S = config.seq_len
+    idx = jnp.arange(S)
+
+    def window(carry, _):
+        hist, tokens, pos, budget, active, cache = carry
+
+        # per-slot prompt-lookup drafts continuing `tokens`
+        def draft_row(h, tok, p):
+            match = (h == tok) & (idx < p - 1)
+            j = jnp.max(jnp.where(match, idx, -1))
+            outs = []
+            for k in range(d - 1):
+                t = h[jnp.clip(j + 1 + k, 0, S - 1)]
+                outs.append(jnp.where((j >= 0) & (t >= 0), t, tok))
+            return jnp.stack(outs)
+
+        drafts = jax.vmap(draft_row)(hist, tokens, pos)  # (B, d-1)
+        seg = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, d)
+
+        hidden, cache = forward(
+            params, cache, seg, pos, config, precision, backend
+        )
+        logits = logits_from_hidden(params, hidden, precision, backend)
+        targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, d)
+
+        ok = seg[:, 1:] == targets[:, :-1]  # draft i verified by target i-1
+        acc = 1 + jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+
+        emit_idx = jnp.arange(d)[None, :]
+        is_bos = targets == BOS
+        before_bos = (jnp.cumsum(is_bos.astype(jnp.int32), axis=1) - is_bos) == 0
+        keep = (
+            (emit_idx < acc[:, None])
+            & before_bos
+            & ~is_bos
+            & (emit_idx < budget[:, None])
+            & active[:, None]
+        )
+        n_emit = jnp.sum(keep.astype(jnp.int32), axis=1)  # (B,)
+        saw_bos = jnp.any((emit_idx < acc[:, None]) & is_bos & active[:, None], axis=1)
+
+        emitted = jnp.where(keep, targets, -1)  # (B, d)
+        # BOS must reach the host replay so it can retire the slot
+        emitted = jnp.where(
+            (emit_idx == n_emit[:, None]) & saw_bos[:, None], BOS, emitted
+        )
+
+        def write_hist(h, em, p):
+            def one(k, hh):
+                return jnp.where(
+                    em[k] >= 0, hh.at[jnp.clip(p + k, 0, S - 1)].set(em[k]), hh
+                )
+            return jax.lax.fori_loop(0, d, one, h)
+
+        hist = jax.vmap(write_hist)(hist, jnp.where(keep, targets, -1), pos)
+        last = jnp.clip(n_emit - 1, 0, d - 1)
+        new_tok = jnp.take_along_axis(targets, last[:, None], axis=1)[:, 0]
+        tokens = jnp.where(n_emit > 0, new_tok, tokens)
+        pos = jnp.where(active, jnp.minimum(pos + n_emit, S - 1), pos)
+        budget = budget - n_emit
+        active = active & ~saw_bos & (n_emit == acc) & (budget > 0)
+        return (hist, tokens, pos, budget, active, cache), emitted.T  # (d, B)
+
+    carry = (hist, tokens, pos, budget, active, cache)
+    (hist, tokens, pos, budget, active, cache), emitted = jax.lax.scan(
+        window, carry, None, length=n_windows
+    )
+    emitted = emitted.reshape(n_windows * d, B)
+    packed = jnp.concatenate(
+        [emitted, tokens[None], pos[None], active.astype(jnp.int32)[None]],
+        axis=0,
+    )
+    return packed, cache
+
+
+@partial(
+    jax.jit,
     static_argnames=("config", "precision", "backend", "n_ticks", "stochastic"),
     donate_argnames=("cache",),
 )
@@ -202,6 +318,7 @@ class BatchEngine:
         default_seed: int = 0,
         ticks_per_sync: int = 1,
         kv_quant: bool = False,
+        spec_window: int = 0,
     ):
         self.config = config
         self.batch_size = batch_size
@@ -221,16 +338,13 @@ class BatchEngine:
         self.lane_pad = backend == "pallas" and config.head_size % 128 != 0
         # int8 KV cache: 4x more slots per HBM byte (attention_q8 kernel)
         self.kv_quant = kv_quant
+        # spec_window >= 2: greedy speculative windows (ticks_per_sync then
+        # counts WINDOWS, each committing up to spec_window tokens/slot);
+        # used only when every active slot is argmax, else the plain tick
+        self.spec_window = spec_window if spec_window >= 2 else 0
         # subclasses with their own KV layout (paged) skip the dense cache:
         # a B*S allocation made only to be discarded is a needless HBM spike
-        self.cache = (
-            init_cache(
-                config, batch_size, self.dtype,
-                lane_pad=self.lane_pad, kv_quant=kv_quant,
-            )
-            if self._DENSE_CACHE
-            else None
-        )
+        self.cache = self._make_cache() if self._DENSE_CACHE else None
         self.waiting: "queue.Queue[Request]" = queue.Queue()
         self.slots: list[Request | None] = [None] * batch_size
         # host mirrors of device state
@@ -244,6 +358,23 @@ class BatchEngine:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.metrics = {"requests": 0, "tokens": 0, "ttft": []}
+
+    def _make_cache(self):
+        cache = init_cache(
+            self.config, self.batch_size, self.dtype,
+            lane_pad=self.lane_pad, kv_quant=self.kv_quant,
+        )
+        if self.spec_window:
+            # pad past seq_len so a draft window starting at the final
+            # position never clamps onto committed KV rows (see generator)
+            pad = self.spec_window
+            cache = {
+                k: jnp.pad(
+                    v, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (v.ndim - 4)
+                )
+                for k, v in cache.items()
+            }
+        return cache
 
     # ---- public API ----
 
@@ -300,10 +431,7 @@ class BatchEngine:
             except queue.Empty:
                 break
             req.result_q.put(err)
-        self.cache = init_cache(
-            self.config, self.batch_size, self.dtype,
-            lane_pad=self.lane_pad, kv_quant=self.kv_quant,
-        )
+        self.cache = self._make_cache()
 
     def _step(self):
         self._admit()
@@ -400,6 +528,32 @@ class BatchEngine:
             ],
             np.int32,
         )
+        if (
+            self.spec_window
+            and active.any()
+            and not np.any(~self._argmax[active])
+        ):
+            S = self.config.seq_len
+            hist = np.full((self.batch_size, S), -1, np.int32)
+            for slot, req in enumerate(self.slots):
+                if req is not None:
+                    hist[slot, : len(req.tokens)] = req.tokens[:S]
+            packed, self.cache = _tick_spec(
+                self.params,
+                self.cache,
+                jnp.asarray(hist),
+                jnp.asarray(self._tokens),
+                jnp.asarray(self._pos),
+                jnp.asarray(budget),
+                jnp.asarray(active),
+                config=self.config,
+                precision=self.precision,
+                backend=self.backend,
+                n_windows=self.ticks_per_sync,
+                d=self.spec_window,
+            )
+            self._replay(np.asarray(packed))
+            return
         packed, self.cache = _tick(
             self.params,
             self.cache,
@@ -417,8 +571,11 @@ class BatchEngine:
             n_ticks=self.ticks_per_sync,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
         )
-        packed = np.asarray(packed)  # the ONE host sync per decode window
-        emitted = packed[:-3]  # (n_ticks, B)
+        self._replay(np.asarray(packed))
+
+    def _replay(self, packed: np.ndarray):
+        """Apply one packed device sync: emitted rows then tokens/pos/active."""
+        emitted = packed[:-3]
         self._tokens = packed[-3].copy()
         self._pos = packed[-2].copy()
         still_active = packed[-1].astype(bool)

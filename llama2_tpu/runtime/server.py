@@ -14,7 +14,7 @@ Endpoints:
 Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8] \
           [--paged [--page-size 256] [--pages N]] [--ticks-per-sync K]
-          [--kv-cache f32|int8]
+          [--kv-cache f32|int8] [--spec N]
 
 ``--paged`` switches the KV cache to the paged layout
 (runtime/paged_engine.py): memory scales with tokens in flight instead of
@@ -160,6 +160,7 @@ def main(argv=None):
     n_pages = None
     ticks = 1
     kv_cache = "f32"
+    spec = 0
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -194,6 +195,12 @@ def main(argv=None):
             kv_cache = argv[i]
             if kv_cache not in ("f32", "int8"):
                 print("--kv-cache must be f32 or int8", file=sys.stderr)
+                return 1
+        elif a == "--spec":
+            i += 1
+            spec = int(argv[i])
+            if spec < 0 or spec == 1 or spec > 64:
+                print("--spec must be 0 or 2..64", file=sys.stderr)
                 return 1
         elif a == "--page-size":
             i += 1
@@ -247,6 +254,7 @@ def main(argv=None):
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
             ticks_per_sync=ticks,
             kv_quant=kv_cache == "int8",
+            spec_window=spec,
         )
     serve(engine, tokenizer, host, port)
     return 0

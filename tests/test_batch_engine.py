@@ -185,3 +185,50 @@ def test_engine_with_int8_kv_cache(engine_and_ref):
         got = q.get(timeout=60).tokens
         agree = sum(a == b for a, b in zip(got, want)) / max(len(want), 1)
         assert agree >= 0.7, f"{agree=} {got=} {want=}"
+
+
+@pytest.mark.parametrize("d,windows", [(4, 1), (4, 4), (8, 2)])
+def test_spec_engine_token_identical(engine_and_ref, d, windows):
+    """Speculative windows in the batch engine emit exactly the plain
+    greedy streams, across slot reuse and varied lengths."""
+    config, params, ref = engine_and_ref
+    prompts = [[5, 17], [], [320, 9, 44], [7], [250, 4, 99, 2, 18]]
+    gen = GenerationConfig(temperature=0.0, steps=23)
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = BatchEngine(
+        config, params, batch_size=2, spec_window=d, ticks_per_sync=windows
+    )
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for p, want, q in zip(prompts, expected, queues):
+        got = q.get(timeout=60).tokens
+        assert got == want, f"prompt {p}: {got} != {want}"
+
+
+def test_spec_engine_full_seq_len(engine_and_ref):
+    config, params, ref = engine_and_ref
+    gen = GenerationConfig(temperature=0.0, steps=0)  # model max
+    want = ref.generate([9, 4], gen).tokens
+    eng = BatchEngine(config, params, batch_size=2, spec_window=4,
+                      ticks_per_sync=8)
+    q = eng.submit([9, 4], gen)
+    eng.run_until_idle()
+    assert q.get(timeout=120).tokens == want
+
+
+def test_spec_engine_mixed_batch_falls_back(engine_and_ref):
+    """A stochastic request in the batch routes the sync through the plain
+    tick; all streams stay correct."""
+    config, params, ref = engine_and_ref
+    g_greedy = GenerationConfig(temperature=0.0, steps=16)
+    g_sampled = GenerationConfig(temperature=0.9, top_p=0.9, steps=16, seed=3)
+    want = ref.generate([5, 17], g_greedy).tokens
+
+    eng = BatchEngine(config, params, batch_size=2, spec_window=4)
+    q1 = eng.submit([5, 17], g_greedy)
+    q2 = eng.submit([7], g_sampled)
+    eng.run_until_idle()
+    assert q1.get(timeout=60).tokens == want
+    r2 = q2.get(timeout=60)
+    assert 1 <= len(r2.tokens) <= 16
