@@ -238,7 +238,10 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if opts["spec"] >= 2 and (opts["temperature"] != 0.0):
-        log("note: --spec applies to greedy decoding only (-t 0); ignored")
+        print(
+            "warning: --spec applies to greedy decoding only (-t 0); ignored",
+            file=sys.stderr,
+        )
 
     if opts["warmup"]:
         # must compile the SAME decode-loop specialization the timed run

@@ -346,6 +346,9 @@ class BatchEngine:
         # a B*S allocation made only to be discarded is a needless HBM spike
         self.cache = self._make_cache() if self._DENSE_CACHE else None
         self.waiting: "queue.Queue[Request]" = queue.Queue()
+        # requests bounced by admission (e.g. paged memory pressure) retry
+        # BEFORE newer arrivals or a large request starves behind small ones
+        self._requeue: list[Request] = []
         self.slots: list[Request | None] = [None] * batch_size
         # host mirrors of device state
         self._tokens = np.zeros(batch_size, np.int32)
@@ -366,8 +369,12 @@ class BatchEngine:
         )
         if self.spec_window:
             # pad past seq_len so a draft window starting at the final
-            # position never clamps onto committed KV rows (see generator)
+            # position never clamps onto committed KV rows; on pallas the
+            # pad rounds up to a 128 multiple or the flash kernels' block
+            # pickers degrade/reject the length (see generator)
             pad = self.spec_window
+            if self.backend == "pallas":
+                pad = -(-max(pad, 128) // 128) * 128
             cache = {
                 k: jnp.pad(
                     v, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (v.ndim - 4)
@@ -401,7 +408,9 @@ class BatchEngine:
 
     def run_until_idle(self, max_ticks: int = 100_000):
         """Synchronous drive (tests / batch jobs): process queue to completion."""
-        while (not self.waiting.empty() or any(self.slots)) and max_ticks > 0:
+        while (
+            not self.waiting.empty() or self._requeue or any(self.slots)
+        ) and max_ticks > 0:
             self._step()
             max_ticks -= 1
 
@@ -442,10 +451,13 @@ class BatchEngine:
         for slot in range(self.batch_size):
             if self.slots[slot] is not None:
                 continue
-            try:
-                req = self.waiting.get_nowait()
-            except queue.Empty:
-                return
+            if self._requeue:
+                req = self._requeue.pop(0)
+            else:
+                try:
+                    req = self.waiting.get_nowait()
+                except queue.Empty:
+                    return
             self._start_request(slot, req)
 
     def _start_request(self, slot: int, req: Request):
@@ -482,7 +494,9 @@ class BatchEngine:
 
         # sample the first generated token (device-side; main.zig:1002-1013)
         first = self._sample_first(logits, req, pos - 1)
-        req.ttft_s = time.perf_counter() - req.submitted_at
+        first_admission = req.ttft_s is None  # preemption re-admits
+        if first_admission:
+            req.ttft_s = time.perf_counter() - req.submitted_at
         req.tokens = list(prompt)
         req.steps = steps
         if first == BOS:
@@ -498,8 +512,9 @@ class BatchEngine:
         self._temp[slot] = req.gen.temperature if req.gen.temperature > 0 else 1.0
         self._topp[slot] = min(max(req.gen.top_p, 0.0), 1.0)
         self._argmax[slot] = req.gen.temperature == 0.0
-        self.metrics["requests"] += 1
-        self.metrics["ttft"].append(req.ttft_s)
+        if first_admission:
+            self.metrics["requests"] += 1
+            self.metrics["ttft"].append(req.ttft_s)
 
     def _sample_first(self, logits, req: Request, pos: int) -> int:
         """Sample the first generated token from device logits (scalar fetch)."""
@@ -601,6 +616,7 @@ class BatchEngine:
 
     def _finish(self, slot_req: Request, slot: int | None = None):
         if slot is not None:
+            self._on_retire(slot)
             self.slots[slot] = None
         slot_req.result_q.put(
             BatchResult(
@@ -610,6 +626,9 @@ class BatchEngine:
                 total_s=time.perf_counter() - slot_req.submitted_at,
             )
         )
+
+    def _on_retire(self, slot: int) -> None:
+        """Hook for subclasses (the paged engine releases the slot's pages)."""
 
     # ---- metrics ----
 

@@ -197,13 +197,15 @@ class PagedBatchEngine(BatchEngine):
             )
             return
         if len(self.pool.free) < need:
-            # not enough memory right now: requeue and let running slots
-            # retire first (capacity check above rules out livelock)
-            self.waiting.put(req)
+            # not enough memory right now: retry ahead of newer arrivals
+            # once running slots retire (capacity check rules out livelock)
+            self._requeue.append(req)
             return
 
-        # prefill through the dense staging plane (fresh per request)
-        staging = jax.tree.map(jnp.zeros_like, self._staging)
+        # prefill through the shared dense staging plane: stale rows from
+        # the previous tenant are never read (attention masks to <= pos and
+        # garbage rows past the prompt route to the scratch page)
+        staging = self._staging
         pos = 0
         logits = None
         remaining = feed
@@ -295,13 +297,14 @@ class PagedBatchEngine(BatchEngine):
                     )
                     if others:
                         # preempt-and-recompute: drop this request's pages,
-                        # requeue it to restart once a retiring request frees
-                        # memory (recompute beats swapping on TPU: prefill is
-                        # batched MXU work, host transfers ride a slow link)
+                        # requeue it (head of line) to restart once a
+                        # retiring request frees memory (recompute beats
+                        # swapping on TPU: prefill is batched MXU work, host
+                        # transfers ride a slow link)
                         self.slots[slot] = None
                         req.tokens = []
                         req.steps = 0
-                        self.waiting.put(req)
+                        self._requeue.append(req)
                     else:
                         # alone and out of memory: the pool genuinely cannot
                         # hold this request; return what it has
@@ -345,31 +348,10 @@ class PagedBatchEngine(BatchEngine):
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
         )
         self.pool.k, self.pool.v = k_pool, v_pool
-        packed = np.asarray(packed)  # ONE host sync per window
-        emitted = packed[:-3]
-        self._tokens = packed[-3].copy()
-        self._pos = packed[-2].copy()
-        still_active = packed[-1].astype(bool)
-        for t in range(emitted.shape[0]):
-            for slot, req in enumerate(self.slots):
-                if req is None:
-                    continue
-                tok = int(emitted[t, slot])
-                if tok < 0:
-                    continue
-                self.metrics["tokens"] += 1
-                if tok == BOS:
-                    self._release_slot(slot)
-                    self._finish(slot_req=req, slot=slot)
-                    continue
-                req.tokens.append(tok)
-                if len(req.tokens) >= req.steps:
-                    self._release_slot(slot)
-                    self._finish(slot_req=req, slot=slot)
-        for slot, req in enumerate(self.slots):
-            if req is not None and not still_active[slot]:
-                self._release_slot(slot)
-                self._finish(slot_req=req, slot=slot)
+        self._replay(np.asarray(packed))  # _on_retire releases pages
+
+    def _on_retire(self, slot: int) -> None:
+        self._release_slot(slot)
 
     def _release_slot(self, slot: int):
         self.pool.release(self._slot_pages[slot])

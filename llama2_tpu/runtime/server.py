@@ -235,6 +235,12 @@ def main(argv=None):
 
         params = quantize_params(params)
     if paged:
+        if kv_cache != "f32" or spec:
+            print(
+                "--paged does not support --kv-cache int8 / --spec yet",
+                file=sys.stderr,
+            )
+            return 1
         from llama2_tpu.runtime.paged_engine import PagedBatchEngine
 
         engine = PagedBatchEngine(
