@@ -15,8 +15,12 @@ fmt:             ## format in place
 	  echo "ruff not installed; skipping (fmt is advisory)"
 
 fmt-check:       ## the `zig fmt --check` analog (ci.yml:20)
-	$(PY) -m ruff format --check llama2_tpu tests benchmarks 2>/dev/null || \
-	  $(PY) -m compileall -q llama2_tpu tests benchmarks
+	@if $(PY) -c "import ruff" 2>/dev/null || command -v ruff >/dev/null 2>&1; then \
+	  $(PY) -m ruff format --check llama2_tpu tests benchmarks; \
+	else \
+	  echo "ruff not installed; falling back to compileall"; \
+	  $(PY) -m compileall -q llama2_tpu tests benchmarks; \
+	fi
 
 benchmarks:      ## per-kernel roofline microbenchmarks (benchmarks/ analog)
 	$(PY) benchmarks/kernels.py

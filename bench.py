@@ -7,68 +7,81 @@ stripped from the snapshot, so weights are random with the exact stories15M
 shapes — identical compute/bandwidth profile, and argmax decode cost does not
 depend on weight values.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with three throughput figures so round-over-round
+tracking can't be gamed by speculative-acceptance luck:
+  value       — exact speculative decode (prompt-lookup drafts, parallel
+                verify; stream asserted identical to plain greedy in-run)
+  value_plain — the plain on-device decode loop (honest per-token latency)
+  value_int8  — plain loop on the Q8_0-quantized model (fused Pallas kernels)
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 BASELINE_TOK_S = 660.0  # reference argmax decode, README.md:86-88
+
+
+def _best_of(g, gen, n, ref_tokens=None):
+    """Best throughput over n runs (the tunnel adds multi-ms jitter per run).
+
+    If ref_tokens is given, every run's stream must match it exactly;
+    returns 0.0 on any divergence so the caller can fall back.
+    """
+    best = 0.0
+    for _ in range(n):
+        res = g.generate([], gen)
+        if ref_tokens is not None and res.tokens != ref_tokens:
+            return 0.0
+        best = max(best, res.tokens_per_sec)
+    return best
 
 
 def main() -> None:
     from __graft_entry__ import _flagship
 
     from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.quant.q8 import quantize_params
     from llama2_tpu.runtime.generator import Generator
 
     config, params = _flagship()
     gen = GenerationConfig(temperature=0.0, steps=256, seed=0)
+    warm = GenerationConfig(temperature=0.0, steps=4, seed=0)
 
-    # Exact speculative decoding (prompt-lookup drafts, parallel verify) is
-    # used for the measured runs; the emitted stream is asserted identical
-    # to plain greedy in-run, so this is a pure wall-clock optimization —
-    # the SIMD-matmul of this engine (the reference's own headline lever,
-    # README.md:117-119).
+    # Plain on-device while_loop decode: the honest per-token latency figure.
     plain = Generator(config, params)
-    plain.generate([], GenerationConfig(temperature=0.0, steps=4, seed=0))
+    plain.generate([], warm)
     ref_tokens = plain.generate([], gen).tokens
+    value_plain = _best_of(plain, gen, 3)
 
-    g = Generator(config, params, speculative=16)
-    g.generate([], GenerationConfig(temperature=0.0, steps=4, seed=0))
+    # Exact speculative decoding (prompt-lookup drafts, parallel verify): a
+    # pure wall-clock optimization — the emitted stream is asserted identical
+    # to plain greedy on every run, with a plain fallback on any divergence.
+    spec = Generator(config, params, speculative=16)
+    spec.generate([], warm)
+    value = _best_of(spec, gen, 7, ref_tokens=ref_tokens)
+    if value == 0.0:
+        value = value_plain
 
-    best = 0.0
-    n_tokens = 0
-    exact = True
-    for _ in range(7):  # best-of-N: the tunnel adds multi-ms jitter per run
-        res = g.generate([], gen)
-        if res.tokens != ref_tokens:
-            exact = False
-            break
-        n_tokens = len(res.tokens)
-        if res.tokens_per_sec > best:
-            best = res.tokens_per_sec
-
-    if not exact or best == 0.0:
-        # never trade correctness for speed: if the speculative stream ever
-        # diverges on this hardware, measure the plain loop instead
-        best, n_tokens = 0.0, 0
-        for _ in range(3):
-            res = plain.generate([], gen)
-            n_tokens = len(res.tokens)
-            if res.tokens_per_sec > best:
-                best = res.tokens_per_sec
+    # INT8: Q8_0 weights + fused dequant-matmul Pallas kernels, plain loop.
+    value_int8 = 0.0
+    try:
+        q = Generator(config, quantize_params(params), backend="pallas")
+        q.generate([], warm)
+        value_int8 = _best_of(q, gen, 3)
+    except Exception:
+        pass  # INT8 is reported best-effort; the headline never blocks on it
 
     print(
         json.dumps(
             {
                 "metric": "stories15M_decode_tok_s_argmax_1chip",
-                "value": round(best, 1),
+                "value": round(value, 1),
                 "unit": "tok/s",
-                "vs_baseline": round(best / BASELINE_TOK_S, 3),
-                "n_tokens": n_tokens,
+                "vs_baseline": round(value / BASELINE_TOK_S, 3),
+                "value_plain": round(value_plain, 1),
+                "value_int8": round(value_int8, 1),
+                "n_tokens": len(ref_tokens),
             }
         )
     )

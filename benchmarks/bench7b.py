@@ -1,0 +1,186 @@
+"""7B-class INT8 end-to-end serving benchmark (the north-star proof).
+
+Protocol mirror of the reference's README.md:71-88 measurement, scaled to the
+north star (BASELINE.md: Llama-2 7B INT8, >=85% of roofline): build a
+Llama-2-7B-shaped INT8 model (random weights — decode bandwidth does not care
+about values), load it through the on-disk param cache, serve it through the
+continuous-batching engine on one chip, and report:
+
+  * aggregate decode throughput (tok/s) + TTFT p50/p95 under a request wave;
+  * steady-state per-decode-step latency with all slots active;
+  * end-to-end %% of the HBM weight-stream roofline for the FULL decode step
+    (every step must stream the whole ~6.6 GB INT8 weight set; the roofline
+    step time is weight_bytes / HBM_BW) — both weights-only and weights+KV.
+
+Prints one JSON line; run with --write to also update BENCH_7B.json.
+
+    python benchmarks/bench7b.py --model 7b --batch 8 --steps 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HBM_GBPS = 819e9  # v5e HBM peak (16 GB @ 819 GB/s)
+
+
+def fuse_host(params: dict) -> dict:
+    """fuse_layer_params on HOST numpy (one read of x per co-located matmul,
+    models/llama.py::fuse_layer_params) — fusing on device would transiently
+    hold both the unfused and fused 7B trees in HBM."""
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    def cat(*ws):
+        assert len({w.group_size for w in ws}) == 1
+        return QuantTensor(
+            q=np.concatenate([np.asarray(w.q) for w in ws], axis=-1),
+            scale=np.concatenate([np.asarray(w.scale) for w in ws], axis=-1),
+            group_size=ws[0].group_size,
+        )
+
+    out = {k: v for k, v in params.items()
+           if k not in ("wq", "wk", "wv", "w1", "w3")}
+    out["wqkv"] = cat(params["wq"], params["wk"], params["wv"])
+    out["w13"] = cat(params["w1"], params["w3"])
+    return out
+
+
+def stream_bytes_per_step(params) -> int:
+    """Bytes every decode step must read from HBM for weights: all QuantTensor
+    int8 + scales + the fp32 norms. The embedding gather reads B rows only."""
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    total = 0
+    for name, v in params.items():
+        if isinstance(v, QuantTensor):
+            total += np.asarray(v.q).nbytes + np.asarray(v.scale).nbytes
+        elif name.startswith("rms"):
+            total += np.asarray(v).nbytes
+    return total
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b")
+    ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=128, help="tokens per request")
+    ap.add_argument("--ticks", type=int, default=32, help="ticks per host sync")
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--prompt-len", type=int, default=16)
+    ap.add_argument("--roofline-syncs", type=int, default=6)
+    ap.add_argument("--write", action="store_true", help="update BENCH_7B.json")
+    args = ap.parse_args(argv)
+
+    from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.io.cache import is_cache_dir, load_cache
+    from llama2_tpu.runtime.batch_engine import BatchEngine
+    from llama2_tpu.tools.make_random_q8 import build
+
+    cache_dir = args.cache_dir or f"/tmp/llama2_tpu_bench_{args.model}_q8"
+    if not is_cache_dir(cache_dir):
+        print(f"[bench7b] building random {args.model} INT8 cache at "
+              f"{cache_dir} ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        build(cache_dir, args.model, seq_len=args.seq_len)
+        print(f"[bench7b] built in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+    t0 = time.perf_counter()
+    config, params, _ = load_cache(cache_dir)  # mmap: zero host fp32 copy
+    params = fuse_host(params)
+    wbytes = stream_bytes_per_step(params)
+    print(f"[bench7b] {config}", file=sys.stderr)
+    print(f"[bench7b] weight stream: {wbytes / 1e9:.2f} GB/step; uploading...",
+          file=sys.stderr)
+    eng = BatchEngine(
+        config, params, batch_size=args.batch, backend="pallas",
+        kv_quant=True, ticks_per_sync=args.ticks,
+    )
+    # force the upload + a scalar fetch so load time is measured honestly
+    np.asarray(eng.params["rms_final"][:1])
+    load_s = time.perf_counter() - t0
+    print(f"[bench7b] load+upload {load_s:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    gen = GenerationConfig(temperature=0.0, steps=args.steps, seed=0)
+
+    def prompt():
+        return [int(t) for t in rng.integers(3, config.vocab_size, args.prompt_len)]
+
+    # ---- phase 1: serving wave (compiles prefill+tick on first use) ----
+    print("[bench7b] serving wave (first tick compiles; minutes on a remote "
+          "Mosaic service)...", file=sys.stderr)
+    n_req = 2 * args.batch
+    t0 = time.perf_counter()
+    queues = [eng.submit(prompt(), gen) for _ in range(n_req)]
+    eng.run_until_idle()
+    results = [q.get(timeout=1200) for q in queues]
+    wall = time.perf_counter() - t0
+    for r in results:
+        if isinstance(r, Exception):
+            raise r
+    emitted = sum(len(r.tokens) - args.prompt_len for r in results)
+    agg_tok_s = emitted / wall
+    pct = eng.ttft_percentiles()
+
+    # ---- phase 2: steady-state roofline (all slots active, timed syncs) ----
+    big = GenerationConfig(temperature=0.0, steps=config.seq_len - args.prompt_len - 8, seed=0)
+    queues = [eng.submit(prompt(), big) for _ in range(args.batch)]
+    eng._admit()
+    assert all(s is not None for s in eng.slots), "roofline needs a full batch"
+    eng._decode_tick()  # warm (already compiled in phase 1)
+    t0 = time.perf_counter()
+    for _ in range(args.roofline_syncs):
+        eng._decode_tick()
+    dt = time.perf_counter() - t0
+    n_steps = args.roofline_syncs * args.ticks
+    step_s = dt / n_steps
+    # KV traffic actually read during the timed window (int8 K+V + scales);
+    # per-step traffic grows linearly with pos, so the window mean is the
+    # traffic at its midpoint position
+    pos_mid = float(np.mean(eng._pos)) - n_steps / 2
+    kv_row = config.n_kv_heads * ((config.head_size + 127) // 128 * 128)
+    kv_bytes = args.batch * config.n_layers * pos_mid * (kv_row * 2 + 8)
+    roof_w = (wbytes / HBM_GBPS) / step_s
+    roof_wkv = ((wbytes + kv_bytes) / HBM_GBPS) / step_s
+    # drain phase-2 requests (don't leave the engine mid-flight)
+    for slot, req in enumerate(list(eng.slots)):
+        if req is not None:
+            eng.slots[slot] = None
+            req.result_q.put(None)
+
+    out = {
+        "metric": f"llama_{args.model}_int8_serving_1chip",
+        "tok_s": round(agg_tok_s, 1),
+        "unit": "tok/s aggregate",
+        "ttft_p50_s": round(pct["p50"], 3) if pct["p50"] else None,
+        "ttft_p95_s": round(pct["p95"], 3) if pct["p95"] else None,
+        "decode_step_ms": round(step_s * 1e3, 2),
+        "weight_stream_gb": round(wbytes / 1e9, 2),
+        "roofline_weight_pct": round(100 * roof_w, 1),
+        "roofline_weight_kv_pct": round(100 * roof_wkv, 1),
+        "batch": args.batch,
+        "ticks_per_sync": args.ticks,
+        "requests": n_req,
+        "steps_per_request": args.steps,
+        "load_upload_s": round(load_s, 1),
+    }
+    print(json.dumps(out))
+    if args.write:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "BENCH_7B.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

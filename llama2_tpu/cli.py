@@ -32,7 +32,7 @@ TPU options:
  --prefill-chunk <int>     prefill segment length, default whole prompt
  --profile <dir>           capture a jax.profiler trace of the run into <dir>
  --platform <name>         force a jax platform (e.g. cpu), default = env
- --kernels <xla|pallas>    compute path for quantized matmuls, default xla
+ --kernels <xla|pallas|pallas-accurate>  quantized-matmul path, default xla
  --kv-cache <f32|int8>     KV cache storage (int8: 4x less attention traffic)
  --spec <int>              greedy speculative decoding window (exact; 0 = off)
  --save-cache <dir>        write the loaded params to a fast-load cache dir
@@ -154,7 +154,7 @@ def parse_args(argv: list[str]) -> dict | None:
             opts["platform"], i = take_value(i, "platform")
         elif arg == "--kernels":
             val, i = take_value(i, "kernels")
-            if val not in ("xla", "pallas"):
+            if val not in ("xla", "pallas", "pallas-accurate"):
                 _die(f"unable to parse --kernels argument '{val}'")
             opts["kernels"] = val
         elif arg == "--save-cache":

@@ -147,7 +147,7 @@ def _layer(
         # and the kernel's (T*G, hs) query block must stay VMEM-sized.
         # Compiled mode additionally needs S % 128 (lane-whole scale DMA).
         S_c = k_cache.shape[2]
-        if backend == "pallas" and hs_c % 128 == 0 and T <= 16 and (
+        if backend.startswith("pallas") and hs_c % 128 == 0 and T <= 16 and (
             pos.ndim == 0 or T == 1
         ) and (S_c % 128 == 0 or interpret_default()):
             from llama2_tpu.ops.pallas.attention_q8 import (
@@ -173,11 +173,11 @@ def _layer(
                 precision=precision,
                 scale=scale,
             )
-    elif backend == "pallas" and hs_c % 128 == 0 and pos.ndim == 0 and T > 1:
+    elif backend.startswith("pallas") and hs_c % 128 == 0 and pos.ndim == 0 and T > 1:
         from llama2_tpu.ops.pallas.prefill_attention import flash_prefill_attention
 
         att = flash_prefill_attention(q, k_cache, v_cache, pos, scale=scale)
-    elif backend == "pallas" and T == 1 and hs_c % 128 == 0:
+    elif backend.startswith("pallas") and T == 1 and hs_c % 128 == 0:
         from llama2_tpu.ops.pallas.attention import flash_decode_attention
 
         att = flash_decode_attention(q, k_cache, v_cache, pos, scale=scale)

@@ -92,7 +92,7 @@ def paged_forward_step(
         v_pool_l = _scatter_rows(v_pool_l, v[:, 0], page_ids, row_ids)
 
         scale = 1.0 / (hs_real**0.5)
-        if backend == "pallas":
+        if backend.startswith("pallas"):
             from llama2_tpu.ops.pallas.paged_attention import (
                 paged_decode_attention,
             )

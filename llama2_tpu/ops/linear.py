@@ -18,7 +18,15 @@ import jax.numpy as jnp
 
 from llama2_tpu.quant.q8 import QuantTensor, dequantize
 
-BACKENDS = ("xla", "pallas")
+BACKENDS = ("xla", "pallas", "pallas-accurate")
+
+
+def _quant_mode(backend: str) -> str:
+    """``pallas`` → the fast per-group-bf16 kernels (production path);
+    ``pallas-accurate`` → f32-dequant HIGHEST-precision kernels, argmax
+    token-exact vs the fp32 dequant oracle (exactness-sensitive runs and
+    parity tests; ~3x slower on the weight stream — see quant_matmul.py)."""
+    return "accurate" if backend == "pallas-accurate" else "fast"
 
 
 def linear(
@@ -38,17 +46,17 @@ def linear(
     """
     if isinstance(w, QuantTensor):
         if w.q.ndim == 3 and layer is not None:
-            if backend == "pallas":
+            if backend.startswith("pallas"):
                 from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
-                return quant_matmul_stacked(x, w, layer)
+                return quant_matmul_stacked(x, w, layer, mode=_quant_mode(backend))
             wl = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, False), w
             )
             return jnp.dot(x, dequantize(wl, x.dtype), precision=precision)
-        if backend == "pallas":
+        if backend.startswith("pallas"):
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul
 
-            return quant_matmul(x, w)
+            return quant_matmul(x, w, mode=_quant_mode(backend))
         return jnp.dot(x, dequantize(w, x.dtype), precision=precision)
     return jnp.dot(x, w, precision=precision)

@@ -335,7 +335,16 @@ class BatchEngine:
             else jnp.asarray(a),
             params,
         )
-        self.lane_pad = backend == "pallas" and config.head_size % 128 != 0
+        # fuse QKV / W1-W3 kernel launches on the quantized pallas path,
+        # exactly as the single-stream Generator does (decode there is
+        # launch-bound; one read of x across co-located matmuls)
+        from llama2_tpu.quant.q8 import QuantTensor
+
+        if backend.startswith("pallas") and isinstance(self.params.get("wq"), QuantTensor):
+            from llama2_tpu.models.llama import fuse_layer_params
+
+            self.params = fuse_layer_params(self.params)
+        self.lane_pad = backend.startswith("pallas") and config.head_size % 128 != 0
         # int8 KV cache: 4x more slots per HBM byte (attention_q8 kernel)
         self.kv_quant = kv_quant
         # spec_window >= 2: greedy speculative windows (ticks_per_sync then
@@ -360,7 +369,7 @@ class BatchEngine:
         self._tick_idx = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        self.metrics = {"requests": 0, "tokens": 0, "ttft": []}
+        self.metrics = {"requests": 0, "tokens": 0, "ttft": [], "preempted": 0}
 
     def _make_cache(self):
         cache = init_cache(
@@ -373,7 +382,7 @@ class BatchEngine:
             # pad rounds up to a 128 multiple or the flash kernels' block
             # pickers degrade/reject the length (see generator)
             pad = self.spec_window
-            if self.backend == "pallas":
+            if self.backend.startswith("pallas"):
                 pad = -(-max(pad, 128) // 128) * 128
             cache = {
                 k: jnp.pad(
@@ -418,7 +427,7 @@ class BatchEngine:
 
     def _loop(self):
         while not self._stop.is_set():
-            if self.waiting.empty() and not any(self.slots):
+            if self.waiting.empty() and not self._requeue and not any(self.slots):
                 time.sleep(0.001)
                 continue
             try:
@@ -434,6 +443,9 @@ class BatchEngine:
             if req is not None:
                 req.result_q.put(err)
                 self.slots[slot] = None
+        for req in self._requeue:
+            req.result_q.put(err)
+        self._requeue.clear()
         while True:
             try:
                 req = self.waiting.get_nowait()

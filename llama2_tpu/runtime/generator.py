@@ -243,7 +243,7 @@ class Generator:
             else (config.n_layers if config.n_layers <= 8 else 1)
         )
         # flash decode kernel needs the cache head dim on whole 128-lane tiles
-        self.lane_pad = backend == "pallas" and config.head_size % 128 != 0
+        self.lane_pad = backend.startswith("pallas") and config.head_size % 128 != 0
         self.params = jax.tree.map(
             lambda a: jnp.asarray(a, self.dtype)
             if np.issubdtype(np.asarray(a).dtype, np.floating)
@@ -254,7 +254,7 @@ class Generator:
         # (decode there is launch-bound, not bandwidth-bound)
         from llama2_tpu.quant.q8 import QuantTensor
 
-        if backend == "pallas" and isinstance(self.params.get("wq"), QuantTensor):
+        if backend.startswith("pallas") and isinstance(self.params.get("wq"), QuantTensor):
             from llama2_tpu.models.llama import fuse_layer_params
 
             self.params = fuse_layer_params(self.params)
@@ -325,7 +325,7 @@ class Generator:
             # pad rounds UP to a 128 multiple so the padded length stays
             # tile-aligned for the flash kernels' block pickers
             pad = spec
-            if self.backend == "pallas":
+            if self.backend.startswith("pallas"):
                 pad = -(-max(spec, 128) // 128) * 128
             cache = {
                 k: jnp.pad(v, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (v.ndim - 4))

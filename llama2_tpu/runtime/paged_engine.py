@@ -162,6 +162,9 @@ class PagedBatchEngine(BatchEngine):
             if req is not None:
                 req.result_q.put(err)
                 self.slots[slot] = None
+        for req in self._requeue:
+            req.result_q.put(err)
+        self._requeue.clear()
         while True:
             try:
                 req = self.waiting.get_nowait()
@@ -177,24 +180,38 @@ class PagedBatchEngine(BatchEngine):
         self._slot_pages = [[] for _ in range(self.batch_size)]
 
     def _start_request(self, slot: int, req: Request):
-        steps = req.gen.resolve_steps(self.config.seq_len)
+        # preempt-and-recompute re-admission: replay the already-emitted
+        # stream (teacher-forced prefill of prompt + generated) so the
+        # continuation resumes at the same position — a preempted sampled
+        # request keeps its tokens instead of resampling from the prompt
+        resume = req.ttft_s is not None and len(req.tokens) > len(req.prompt)
         prompt = req.prompt
-        echo = prompt[: prompt.index(BOS)] if BOS in prompt else prompt
-        if len(echo) >= steps or len(echo) < len(prompt):
-            req.tokens = echo[: min(len(echo), steps)]
-            self._finish(slot_req=req)
-            return
+        if resume:
+            steps = req.steps
+            feed = np.asarray([BOS] + req.tokens[:-1], dtype=np.int32)
+        else:
+            steps = req.gen.resolve_steps(self.config.seq_len)
+            echo = prompt[: prompt.index(BOS)] if BOS in prompt else prompt
+            if len(echo) >= steps or len(echo) < len(prompt):
+                req.tokens = echo[: min(len(echo), steps)]
+                self._finish(slot_req=req)
+                return
+            feed = np.asarray([BOS] + prompt, dtype=np.int32)
 
-        feed = np.asarray([BOS] + prompt, dtype=np.int32)
-        # admission control: prompt pages + one spare for decode growth
+        # admission control: stream pages + one spare for decode growth
         need = self.pool.pages_for(len(feed)) + 1
         if need > self.pool.n_pages - 1:  # minus the reserved scratch page
-            req.result_q.put(
-                OutOfPages(
-                    f"prompt needs {need} pages; pool holds "
-                    f"{self.pool.n_pages - 1} — raise n_pages/page_size"
+            if resume:
+                # the grown stream genuinely cannot fit the pool even empty:
+                # return the tokens it has rather than erroring them away
+                self._finish(slot_req=req)
+            else:
+                req.result_q.put(
+                    OutOfPages(
+                        f"prompt needs {need} pages; pool holds "
+                        f"{self.pool.n_pages - 1} — raise n_pages/page_size"
+                    )
                 )
-            )
             return
         if len(self.pool.free) < need:
             # not enough memory right now: retry ahead of newer arrivals
@@ -249,15 +266,21 @@ class PagedBatchEngine(BatchEngine):
         )
         self.pool = _dc.replace(self.pool, k=k_pool, v=v_pool)
 
-        first = self._sample_first(logits, req, pos - 1)
-        req.ttft_s = time.perf_counter() - req.submitted_at
-        req.tokens = list(prompt)
-        req.steps = steps
-        if first == BOS:
-            self.pool.release(pages)
-            self._finish(slot_req=req)
-            return
-        req.tokens.append(first)  # len(prompt) < steps here (echo check)
+        if resume:
+            first = req.tokens[-1]  # already emitted; its KV writes next tick
+        else:
+            first = self._sample_first(logits, req, pos - 1)
+        first_admission = req.ttft_s is None  # preemption re-admits
+        if first_admission:
+            req.ttft_s = time.perf_counter() - req.submitted_at
+        if not resume:
+            req.tokens = list(prompt)
+            req.steps = steps
+            if first == BOS:
+                self.pool.release(pages)
+                self._finish(slot_req=req)
+                return
+            req.tokens.append(first)  # len(prompt) < steps here (echo check)
         if len(req.tokens) >= steps:
             self.pool.release(pages)
             self._finish(slot_req=req)
@@ -270,8 +293,9 @@ class PagedBatchEngine(BatchEngine):
         self._temp[slot] = req.gen.temperature if req.gen.temperature > 0 else 1.0
         self._topp[slot] = min(max(req.gen.top_p, 0.0), 1.0)
         self._argmax[slot] = req.gen.temperature == 0.0
-        self.metrics["requests"] += 1
-        self.metrics["ttft"].append(req.ttft_s)
+        if first_admission:
+            self.metrics["requests"] += 1
+            self.metrics["ttft"].append(req.ttft_s)
 
     def _decode_tick(self):
         K = self.ticks_per_sync
@@ -300,11 +324,12 @@ class PagedBatchEngine(BatchEngine):
                         # requeue it (head of line) to restart once a
                         # retiring request frees memory (recompute beats
                         # swapping on TPU: prefill is batched MXU work, host
-                        # transfers ride a slow link)
+                        # transfers ride a slow link). req.tokens/steps are
+                        # KEPT: re-admission teacher-forces the emitted
+                        # stream so the continuation resumes in place.
                         self.slots[slot] = None
-                        req.tokens = []
-                        req.steps = 0
                         self._requeue.append(req)
+                        self.metrics["preempted"] += 1
                     else:
                         # alone and out of memory: the pool genuinely cannot
                         # hold this request; return what it has

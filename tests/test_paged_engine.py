@@ -133,3 +133,82 @@ def test_paged_engine_quantized_weights(setup):
     q = eng.submit([7, 12], gen)
     eng.run_until_idle()
     assert q.get(timeout=60).tokens == ref
+
+
+def test_preemption_resumes_stream_in_place(setup):
+    """A preempted request keeps its emitted tokens: re-admission replays
+    prompt+generated (teacher-forced prefill) instead of restarting from the
+    prompt, so the final stream extends the pre-preemption prefix verbatim
+    (the vLLM recompute contract; ADVICE round-1 item 4)."""
+    config, params, ref = setup
+
+    snapshots = {}
+
+    class Spy(PagedBatchEngine):
+        def _decode_tick(self):
+            before = {id(r): list(r.tokens) for r in self.slots if r is not None}
+            n0 = self.metrics["preempted"]
+            super()._decode_tick()
+            if self.metrics["preempted"] > n0:
+                for req in self._requeue:
+                    snapshots.setdefault(id(req), list(req.tokens))
+
+    # 9 usable pages of 4 rows = 36 rows; two 30-step streams need ~2x33
+    gen = GenerationConfig(temperature=0.0, steps=30)
+    prompts = [[4, 8], [15, 16]]
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+    eng = Spy(config, params, batch_size=2, page_size=4, n_pages=10)
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle(max_ticks=4000)
+    results = [q.get(timeout=60) for q in queues]
+    assert eng.metrics["preempted"] >= 1, "scenario must actually preempt"
+    for want, got in zip(expected, results):
+        assert got.tokens == want
+    # every preempted request's final stream extends its snapshot verbatim
+    assert snapshots
+    all_tokens = [r.tokens for r in results]
+    for snap in snapshots.values():
+        assert any(t[: len(snap)] == snap for t in all_tokens)
+    # metrics counted once per request despite re-admission
+    assert eng.metrics["requests"] == len(prompts)
+    assert len(eng.metrics["ttft"]) == len(prompts)
+
+
+def test_preemption_threaded_loop_readmits(setup):
+    """The background _loop gate must consider _requeue: a request requeued
+    while all slots retire must still be re-admitted (ADVICE item 1)."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=30)
+    prompts = [[4, 8], [15, 16]]
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+    eng = PagedBatchEngine(config, params, batch_size=2, page_size=4, n_pages=10)
+    eng.start()
+    try:
+        queues = [eng.submit(p, gen) for p in prompts]
+        results = [q.get(timeout=120) for q in queues]
+    finally:
+        eng.stop()
+    for want, got in zip(expected, results):
+        assert not isinstance(got, Exception), got
+        assert got.tokens == want
+
+
+def test_fail_all_reaches_requeued_requests(setup):
+    """_fail_all must deliver the error to requests parked in _requeue
+    (ADVICE item 2) — in both engines."""
+    import queue as _q
+
+    from llama2_tpu.runtime.batch_engine import BatchEngine, Request
+
+    config, params, _ = setup
+    gen = GenerationConfig(temperature=0.0, steps=4)
+    for eng in (
+        BatchEngine(config, params, batch_size=1),
+        PagedBatchEngine(config, params, batch_size=1, page_size=8, n_pages=8),
+    ):
+        req = Request(prompt=[5], gen=gen, result_q=_q.Queue())
+        eng._requeue.append(req)
+        boom = RuntimeError("backend lost")
+        eng._fail_all(boom)
+        assert req.result_q.get(timeout=5) is boom
+        assert not eng._requeue
