@@ -319,9 +319,18 @@ class BatchEngine:
         ticks_per_sync: int = 1,
         kv_quant: bool = False,
         spec_window: int = 0,
+        mesh=None,
     ):
         self.config = config
         self.batch_size = batch_size
+        # mesh: a (data, model) jax.sharding.Mesh — params tensor-shard over
+        # ``model`` (column/row-parallel + vocab-sharded classifier), the KV
+        # cache over (batch→data, kv-heads→model), and every tick runs as one
+        # GSPMD program over all devices. Slots ARE the data axis: continuous
+        # batching of decode requests across chips/hosts (SURVEY.md §5.7/5.8;
+        # the scheduler stays a single host-side control loop, the standard
+        # JAX multi-controller pattern replicates it per process).
+        self.mesh = mesh
         # decode steps per host round trip: 1 = lowest streaming latency;
         # raise it when host<->device sync is expensive relative to a step
         # (new tokens then arrive in bursts of up to this size)
@@ -344,6 +353,10 @@ class BatchEngine:
             from llama2_tpu.models.llama import fuse_layer_params
 
             self.params = fuse_layer_params(self.params)
+        if mesh is not None:
+            from llama2_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(self.params, mesh)
         self.lane_pad = backend.startswith("pallas") and config.head_size % 128 != 0
         # int8 KV cache: 4x more slots per HBM byte (attention_q8 kernel)
         self.kv_quant = kv_quant
@@ -390,6 +403,10 @@ class BatchEngine:
                 )
                 for k, v in cache.items()
             }
+        if self.mesh is not None:
+            from llama2_tpu.parallel.sharding import shard_cache
+
+            cache = shard_cache(cache, self.mesh)
         return cache
 
     # ---- public API ----

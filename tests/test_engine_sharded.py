@@ -1,0 +1,77 @@
+"""Continuous batching over a device mesh (VERDICT round-1 item 3).
+
+The BatchEngine with ``mesh=`` runs every tick as one GSPMD program: params
+tensor-sharded over ``model``, KV cache over (batch→data, kv-heads→model).
+Token streams must be identical to the single-device engine — the bar the
+north star sets for "continuous batching of decode requests across hosts"
+(the scheduler is a host control loop; under multi-controller JAX it
+replicates per process, so single-controller virtual-mesh equivalence is the
+testable slice)."""
+
+import numpy as np
+import pytest
+
+from llama2_tpu.config import GenerationConfig, ModelConfig
+from llama2_tpu.parallel.mesh import make_mesh
+from llama2_tpu.runtime.batch_engine import BatchEngine
+
+from conftest import random_params
+
+
+@pytest.fixture(scope="module")
+def model():
+    config = ModelConfig(
+        dim=64, hidden_dim=128, n_layers=2, n_heads=8, n_kv_heads=4,
+        vocab_size=256, seq_len=48,
+    )
+    return config, random_params(config, seed=11)
+
+
+PROMPTS = [[5, 17], [250, 9, 44], [], [7], [33, 2, 8], [9, 9]]
+
+
+def _serve(eng, gen):
+    queues = [eng.submit(p, gen) for p in PROMPTS]
+    eng.run_until_idle()
+    out = []
+    for q in queues:
+        r = q.get(timeout=120)
+        assert not isinstance(r, Exception), r
+        out.append(r.tokens)
+    return out
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_engine_token_identical(model, dp, tp):
+    config, params = model
+    gen = GenerationConfig(temperature=0.0, steps=16)
+    want = _serve(BatchEngine(config, params, batch_size=4), gen)
+    mesh = make_mesh(dp, tp)
+    got = _serve(BatchEngine(config, params, batch_size=4, mesh=mesh), gen)
+    assert got == want
+
+
+def test_sharded_engine_multi_tick_and_sampled(model):
+    """ticks_per_sync > 1 and seeded stochastic sampling also match on the
+    mesh (same fold_in key schedule, GSPMD-reduced logits)."""
+    config, params = model
+    mesh = make_mesh(2, 4)
+    gen = GenerationConfig(temperature=0.8, top_p=0.9, steps=14, seed=3)
+    want = _serve(BatchEngine(config, params, batch_size=4, ticks_per_sync=4), gen)
+    got = _serve(
+        BatchEngine(config, params, batch_size=4, ticks_per_sync=4, mesh=mesh),
+        gen,
+    )
+    assert got == want
+
+
+def test_sharded_engine_params_actually_sharded(model):
+    config, params = model
+    mesh = make_mesh(2, 4)
+    eng = BatchEngine(config, params, batch_size=4, mesh=mesh)
+    # column-parallel wq: out-features split over 'model'
+    shard_shape = eng.params["wq"].sharding.shard_shape(eng.params["wq"].shape)
+    assert shard_shape[-1] == config.dim // 4
+    # KV cache: batch over 'data', kv-heads over 'model'
+    css = eng.cache["k"].sharding.shard_shape(eng.cache["k"].shape)
+    assert css[1] == 4 // 2 and css[2] == config.n_kv_heads // 4
