@@ -56,24 +56,31 @@ def _spec(shape: tuple[int, ...], mesh: Mesh, model_prefs, data_prefs=()) -> P:
     return P(*specs)
 
 
+# model-axis dim preferences per param name: column-parallel weights shard
+# out-features (dim 2 of the layer-stacked (L, in, out)), row-parallel shard
+# in-features (dim 1), the classifier is vocab-sharded; norms/embedding
+# replicate. Fused launch groups inherit their constituents' orientation.
+MODEL_PREFS: dict[str, tuple[int, ...]] = {
+    "tok_emb": (),  # replicated; rows are gathered by token id
+    "rms_att": (), "rms_ffn": (), "rms_final": (),
+    "wq": (2,), "wk": (2,), "wv": (2,),   # (L, D, out) column-parallel
+    "w1": (2,), "w3": (2,),
+    "wqkv": (2,), "w13": (2,),
+    "wo": (1,), "w2": (1,),               # (L, in, D) row-parallel
+    "wcls": (1,),                          # (D, V) vocab-sharded
+}
+
+
+def leaf_spec(name: str, shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Divisibility-aware spec for one array of param ``name`` — also correct
+    for a QuantTensor's ``q``/``scale`` leaves individually (their dims scale
+    together along the sharded axis only when divisible; else replicate)."""
+    return _spec(shape, mesh, model_prefs=MODEL_PREFS.get(name, ()))
+
+
 def param_specs(params: dict, mesh: Mesh) -> dict[str, P]:
     """Per-param PartitionSpec given actual shapes (divisibility-aware)."""
-    col = lambda k: _spec(params[k].shape, mesh, model_prefs=(2,))
-    row = lambda k: _spec(params[k].shape, mesh, model_prefs=(1,))
-    return {
-        "tok_emb": P(),  # replicated; rows are gathered by token id
-        "rms_att": P(),
-        "wq": col("wq"),  # (L, D, D_out) column-parallel
-        "wk": col("wk"),
-        "wv": col("wv"),
-        "wo": row("wo"),  # (L, D_in, D) row-parallel
-        "rms_ffn": P(),
-        "w1": col("w1"),
-        "w2": row("w2"),
-        "w3": col("w3"),
-        "rms_final": P(),
-        "wcls": _spec(params["wcls"].shape, mesh, model_prefs=(1,)),  # vocab-sharded
-    }
+    return {k: leaf_spec(k, params[k].shape, mesh) for k in params}
 
 
 def cache_specs(cache: dict, mesh: Mesh) -> dict[str, P]:

@@ -339,8 +339,10 @@ class BatchEngine:
         self.backend = backend
         self.dtype = jnp.dtype(dtype)
         self.params = jax.tree.map(
+            # read .dtype directly: np.asarray(a) here would pull a sharded
+            # or mmapped leaf entirely onto the host just to inspect it
             lambda a: jnp.asarray(a, self.dtype)
-            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            if np.issubdtype(np.dtype(a.dtype), np.floating)
             else jnp.asarray(a),
             params,
         )

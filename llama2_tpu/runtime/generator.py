@@ -245,8 +245,10 @@ class Generator:
         # flash decode kernel needs the cache head dim on whole 128-lane tiles
         self.lane_pad = backend.startswith("pallas") and config.head_size % 128 != 0
         self.params = jax.tree.map(
+            # read .dtype directly: np.asarray(a) here would pull a sharded
+            # or mmapped leaf entirely onto the host just to inspect it
             lambda a: jnp.asarray(a, self.dtype)
-            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            if np.issubdtype(np.dtype(a.dtype), np.floating)
             else jnp.asarray(a),
             params,
         )
