@@ -13,13 +13,17 @@ Usage (same command on every host; coordinator = host 0):
     # or explicitly:
     distributed.initialize("10.0.0.1:8476", num_processes=4, process_id=i)
 
-Failure handling: ``jax.distributed`` uses the coordination service's
-barrier/heartbeat over DCN; a lost host surfaces as a coordination timeout
-error on the others. The serving layer's recovery contract is deterministic
-re-init — reload params from the checkpoint and rebuild the mesh
-(weights are read-only at inference, so no training state is lost) — and the
-HTTP frontend re-queues in-flight requests (runtime/batch_engine.py puts an
-error result to each waiting queue on engine failure so callers can retry).
+Failure handling (implemented in ``runtime/batch_engine.py::_recover``,
+tested by fault injection in tests/test_batch_engine.py): an error escaping
+a tick — a lost backend surfaces as one — triggers rebuild of all mutable
+device state (weights are read-only at inference; the KV cache/page pool is
+recreated) and re-queues in-flight requests ahead of new arrivals;
+re-admission teacher-forces each request's already-emitted tokens so it
+resumes in place. ``max_retries`` bounds re-execution so a poison request is
+errored to its caller instead of crash-looping. On a pod, a lost HOST
+surfaces on the others as a coordination-service timeout from this module's
+runtime; the per-process engine applies the same recovery after the process
+set is re-established (coordinator restart — outside this module's scope).
 """
 
 from __future__ import annotations

@@ -53,6 +53,7 @@ class Request:
     tokens: list[int] = dataclasses.field(default_factory=list)
     ttft_s: float | None = None
     steps: int = 0
+    retries: int = 0  # engine-recovery re-executions consumed
 
 
 @dataclasses.dataclass
@@ -320,6 +321,7 @@ class BatchEngine:
         kv_quant: bool = False,
         spec_window: int = 0,
         mesh=None,
+        max_retries: int = 1,
     ):
         self.config = config
         self.batch_size = batch_size
@@ -331,6 +333,10 @@ class BatchEngine:
         # the scheduler stays a single host-side control loop, the standard
         # JAX multi-controller pattern replicates it per process).
         self.mesh = mesh
+        # failure recovery (SURVEY.md §5, failure row): how many times an
+        # in-flight request is re-executed after an engine crash before the
+        # error is returned to its caller (guards against poison requests)
+        self.max_retries = max_retries
         # decode steps per host round trip: 1 = lowest streaming latency;
         # raise it when host<->device sync is expensive relative to a step
         # (new tokens then arrive in bursts of up to this size)
@@ -452,10 +458,39 @@ class BatchEngine:
             try:
                 self._step()
             except Exception as e:  # noqa: BLE001 — failure detection:
-                # fail in-flight requests with the error (callers retry) and
-                # keep serving; weights are read-only so state re-init is
-                # just a fresh cache (SURVEY.md section 5, failure row).
-                self._fail_all(e)
+                # rebuild device state (weights are read-only; the cache is
+                # the only mutable device state) and re-queue in-flight
+                # requests for deterministic re-execution; a request that
+                # exhausts max_retries gets the error instead
+                # (SURVEY.md section 5, failure row).
+                self._recover(e)
+
+    def _recover(self, err: Exception):
+        """Simulated/real backend loss mid-tick: drop the (possibly poisoned)
+        device state, rebuild it, and re-queue the in-flight requests ahead
+        of newer arrivals — re-admission teacher-forces each request's
+        already-emitted stream so it resumes in place. The waiting queue is
+        untouched (those requests held no device state)."""
+        survivors = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            self.slots[slot] = None
+            if req.retries >= self.max_retries:
+                req.result_q.put(err)
+            else:
+                req.retries += 1
+                survivors.append(req)
+        for req in self._requeue:
+            # requeued-but-unadmitted requests held no device state; keep them
+            survivors.append(req)
+        self._requeue = survivors
+        self.metrics["recoveries"] = self.metrics.get("recoveries", 0) + 1
+        self._rebuild()
+
+    def _rebuild(self):
+        """Recreate all mutable device state after a failure."""
+        self.cache = self._make_cache()
 
     def _fail_all(self, err: Exception):
         for slot, req in enumerate(self.slots):
@@ -492,16 +527,24 @@ class BatchEngine:
             self._start_request(slot, req)
 
     def _start_request(self, slot: int, req: Request):
-        steps = req.gen.resolve_steps(self.config.seq_len)
+        # re-admission after preemption or engine recovery: replay the
+        # already-emitted stream (teacher-forced prefill of prompt +
+        # generated) so the continuation resumes at the same position
+        # instead of resampling from the prompt
+        resume = req.ttft_s is not None and len(req.tokens) > len(req.prompt)
         prompt = req.prompt
-        echo = prompt[: prompt.index(BOS)] if BOS in prompt else prompt
-        if len(echo) >= steps or len(echo) < len(prompt):
-            # degenerate: loop ends inside the prompt (reference semantics)
-            req.tokens = echo[: min(len(echo), steps)]
-            self._finish(slot_req=req)
-            return
-
-        feed = np.asarray([BOS] + prompt, dtype=np.int32)
+        if resume:
+            steps = req.steps
+            feed = np.asarray([BOS] + req.tokens[:-1], dtype=np.int32)
+        else:
+            steps = req.gen.resolve_steps(self.config.seq_len)
+            echo = prompt[: prompt.index(BOS)] if BOS in prompt else prompt
+            if len(echo) >= steps or len(echo) < len(prompt):
+                # degenerate: loop ends inside the prompt (reference semantics)
+                req.tokens = echo[: min(len(echo), steps)]
+                self._finish(slot_req=req)
+                return
+            feed = np.asarray([BOS] + prompt, dtype=np.int32)
         pos = 0
         logits = None
         remaining = feed
@@ -523,17 +566,21 @@ class BatchEngine:
                     remaining = remaining[len(seg):]
                     break
 
-        # sample the first generated token (device-side; main.zig:1002-1013)
-        first = self._sample_first(logits, req, pos - 1)
-        first_admission = req.ttft_s is None  # preemption re-admits
+        if resume:
+            first = req.tokens[-1]  # already emitted; its KV writes next tick
+        else:
+            # sample the first generated token (device-side; main.zig:1002-1013)
+            first = self._sample_first(logits, req, pos - 1)
+        first_admission = req.ttft_s is None  # re-admission keeps its TTFT
         if first_admission:
             req.ttft_s = time.perf_counter() - req.submitted_at
-        req.tokens = list(prompt)
-        req.steps = steps
-        if first == BOS:
-            self._finish(slot_req=req)
-            return
-        req.tokens.append(first)  # len(prompt) < steps here (echo check)
+        if not resume:
+            req.tokens = list(prompt)
+            req.steps = steps
+            if first == BOS:
+                self._finish(slot_req=req)
+                return
+            req.tokens.append(first)  # len(prompt) < steps here (echo check)
         if len(req.tokens) >= steps:
             self._finish(slot_req=req)
             return

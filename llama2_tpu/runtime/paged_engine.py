@@ -157,6 +157,18 @@ class PagedBatchEngine(BatchEngine):
 
     # ---- overrides ----
 
+    def _rebuild(self):
+        self.pool = PagePool.create(
+            self.config, self.pool.n_pages, self.page_size, self.dtype,
+            lane_pad=self.lane_pad,
+        )
+        self.pool.free = [p for p in self.pool.free if p != 0]
+        self._tables[:] = 0
+        self._slot_pages = [[] for _ in range(self.batch_size)]
+        self._staging = init_cache(
+            self.config, 1, self.dtype, lane_pad=self.lane_pad
+        )
+
     def _fail_all(self, err: Exception):
         for slot, req in enumerate(self.slots):
             if req is not None:
@@ -171,13 +183,7 @@ class PagedBatchEngine(BatchEngine):
             except queue.Empty:
                 break
             req.result_q.put(err)
-        self.pool = PagePool.create(
-            self.config, self.pool.n_pages, self.page_size, self.dtype,
-            lane_pad=self.lane_pad,
-        )
-        self.pool.free = [p for p in self.pool.free if p != 0]
-        self._tables[:] = 0
-        self._slot_pages = [[] for _ in range(self.batch_size)]
+        self._rebuild()
 
     def _start_request(self, slot: int, req: Request):
         # preempt-and-recompute re-admission: replay the already-emitted

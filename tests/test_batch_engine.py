@@ -112,30 +112,72 @@ def test_background_thread(engine_and_ref):
         eng.stop()
 
 
-def test_engine_failure_fails_requests_and_recovers(engine_and_ref, monkeypatch):
-    """A crashed tick fails in-flight requests with the error; the engine
-    keeps serving new ones from a fresh cache (failure-detection contract)."""
-    config, params, _ = engine_and_ref
-    eng = BatchEngine(config, params, batch_size=2)
+def _crashing_engine(config, params, crash_on_ticks, **kw):
+    """Engine whose _decode_tick raises on the given (1-based) tick calls."""
+    eng = BatchEngine(config, params, batch_size=2, **kw)
+    orig = eng._decode_tick
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] in crash_on_ticks:
+            raise RuntimeError(f"injected device loss (tick {calls['n']})")
+        return orig()
+
+    eng._decode_tick = flaky
+    return eng
+
+
+def test_engine_failure_requeues_and_resumes(engine_and_ref):
+    """A crashed tick rebuilds device state and RE-QUEUES in-flight requests
+    (deterministic re-init, SURVEY.md section 5 failure row): the caller gets
+    a complete, token-identical result, not an error — and tokens emitted
+    before the crash are kept (teacher-forced replay), not regenerated."""
+    config, params, ref = engine_and_ref
+    gen = GenerationConfig(temperature=0.0, steps=8)
+    want = ref.generate([5], gen).tokens
+
+    eng = _crashing_engine(config, params, crash_on_ticks={3})
     eng.start()
     try:
-        boom = RuntimeError("injected device loss")
-        orig = eng._decode_tick
-        calls = {"n": 0}
+        res = eng.generate([5], gen, timeout=120)
+        assert res.tokens == want
+        assert eng.metrics["recoveries"] == 1
+        assert eng.metrics["requests"] == 1  # re-admission not double-counted
+    finally:
+        eng.stop()
 
-        def flaky():
-            calls["n"] += 1
-            if calls["n"] == 1:
-                raise boom
-            return orig()
 
-        eng._decode_tick = flaky
+def test_engine_failure_max_retries_zero_fails_caller(engine_and_ref):
+    config, params, _ = engine_and_ref
+    eng = _crashing_engine(config, params, crash_on_ticks={1}, max_retries=0)
+    eng.start()
+    try:
         q = eng.submit([5], GenerationConfig(temperature=0.0, steps=8))
         res = q.get(timeout=120)
         assert isinstance(res, RuntimeError)
         # engine recovered: next request completes
-        res2 = eng.generate([5], GenerationConfig(temperature=0.0, steps=8), timeout=120)
+        res2 = eng.generate(
+            [5], GenerationConfig(temperature=0.0, steps=8), timeout=120
+        )
         assert len(res2.tokens) >= 1
+    finally:
+        eng.stop()
+
+
+def test_engine_persistent_failure_gives_up_after_retries(engine_and_ref):
+    """A poison request (every tick crashes) is errored to its caller after
+    max_retries re-executions instead of looping forever."""
+    config, params, _ = engine_and_ref
+    eng = _crashing_engine(
+        config, params, crash_on_ticks=set(range(1, 100)), max_retries=2
+    )
+    eng.start()
+    try:
+        q = eng.submit([5], GenerationConfig(temperature=0.0, steps=8))
+        res = q.get(timeout=120)
+        assert isinstance(res, RuntimeError)
+        assert eng.metrics["recoveries"] == 3  # initial + 2 retries
     finally:
         eng.stop()
 
