@@ -116,9 +116,28 @@ def main(argv=None) -> int:
     def prompt():
         return [int(t) for t in rng.integers(3, config.vocab_size, args.prompt_len)]
 
-    # ---- phase 1: serving wave (compiles prefill+tick on first use) ----
-    print("[bench7b] serving wave (first tick compiles; minutes on a remote "
+    # ---- phase 0: warmup (absorbs prefill-chunk + tick compiles, which on
+    # a remote Mosaic service cost minutes and would otherwise pollute the
+    # measured wave's TTFT) ----
+    print("[bench7b] warmup wave (first tick compiles; minutes on a remote "
           "Mosaic service)...", file=sys.stderr)
+    t0 = time.perf_counter()
+    warm = GenerationConfig(
+        temperature=0.0, steps=2 * args.ticks + 2, seed=0
+    )
+    wq = [eng.submit(prompt(), warm) for _ in range(args.batch)]
+    eng.run_until_idle()
+    for q in wq:
+        r = q.get(timeout=3600)
+        if isinstance(r, Exception):
+            raise r
+    eng.metrics["requests"] = 0
+    eng.metrics["tokens"] = 0
+    eng.metrics["ttft"] = []
+    print(f"[bench7b] warmup done in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    # ---- phase 1: serving wave (steady-state: everything compiled) ----
     n_req = 2 * args.batch
     t0 = time.perf_counter()
     queues = [eng.submit(prompt(), gen) for _ in range(n_req)]

@@ -125,18 +125,26 @@ def _layer(
             ks_cache = jax.lax.dynamic_update_slice(ks_cache, k_sc, (0, 0, pos))
             vs_cache = jax.lax.dynamic_update_slice(vs_cache, v_sc, (0, 0, pos))
     else:
-        # per-row positions (continuous batching: each slot at its own pos)
-        upd = jax.vmap(
-            lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p, 0))
-        )
-        k_cache = upd(k_cache, k_bh, pos)
-        v_cache = upd(v_cache, v_bh, pos)
-        if kv_quant:
-            upd1 = jax.vmap(
-                lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p))
+        # per-row positions (continuous batching: each slot at its own pos).
+        # Unrolled per-slot dynamic_update_slice, NOT a vmapped one: vmap
+        # lowers this update to scatter (+ a full-cache copy when the buffer
+        # can't be aliased) — measured ~7 ms/step of pure overhead on a
+        # 16-layer model at batch 8 (benchmarks/engine_profile.py); the
+        # unrolled form stays B in-place row writes.
+        for b in range(k_bh.shape[0]):
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_bh[b : b + 1], (b, 0, pos[b], 0)
             )
-            ks_cache = upd1(ks_cache, k_sc, pos)
-            vs_cache = upd1(vs_cache, v_sc, pos)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_bh[b : b + 1], (b, 0, pos[b], 0)
+            )
+            if kv_quant:
+                ks_cache = jax.lax.dynamic_update_slice(
+                    ks_cache, k_sc[b : b + 1], (b, 0, pos[b])
+                )
+                vs_cache = jax.lax.dynamic_update_slice(
+                    vs_cache, v_sc[b : b + 1], (b, 0, pos[b])
+                )
 
     scale = 1.0 / (hs**0.5)  # real head size, not the lane-padded one
     if kv_quant:

@@ -20,21 +20,23 @@ import jax
 import jax.numpy as jnp
 
 from llama2_tpu.config import ModelConfig
-from llama2_tpu.models.llama import _LAYER_KEYS
+from llama2_tpu.models.llama import _LAYER_KEYS, _LAYER_KEYS_FUSED
 from llama2_tpu.ops import xla as ops
 from llama2_tpu.ops.linear import linear
 
 
 def _scatter_rows(pool_l, rows, page_ids, row_ids):
-    """pool_l (P, KVH, page, hs) <- rows (B, KVH, hs) at per-row coords."""
+    """pool_l (P, KVH, page, hs) <- rows (B, KVH, hs) at per-row coords.
 
-    def per_slot(pool, b):
+    Unrolled over the (static, small) batch: B in-place single-row
+    dynamic_update_slices. A scan adds real per-trip cost inside the decode
+    loop, and a vmapped update lowers to scatter + full-pool copy
+    (benchmarks/engine_profile.py)."""
+    for b in range(rows.shape[0]):
         upd = rows[b][None, :, None, :]  # (1, KVH, 1, hs)
-        return jax.lax.dynamic_update_slice(
-            pool, upd.astype(pool.dtype), (page_ids[b], 0, row_ids[b], 0)
-        ), None
-
-    pool_l, _ = jax.lax.scan(per_slot, pool_l, jnp.arange(rows.shape[0]))
+        pool_l = jax.lax.dynamic_update_slice(
+            pool_l, upd.astype(pool_l.dtype), (page_ids[b], 0, row_ids[b], 0)
+        )
     return pool_l
 
 
@@ -65,23 +67,33 @@ def paged_forward_step(
     from llama2_tpu.quant.q8 import QuantTensor
 
     x = jnp.take(params["tok_emb"], tokens, axis=0)[:, None, :]  # (B, 1, D)
-    x = x.astype(params["wq"].dtype)  # QuantTensor.dtype == its dequant dtype
+    D = config.dim
+    # QuantTensor.dtype == its dequant dtype; fused trees carry wqkv/w13
+    x = x.astype(params.get("wq", params.get("wqkv")).dtype)
     positions = pos[:, None]
     cos, sin = ops.rope_angles(positions, hs_real)
     # quantized weights stay stacked; kernel indexes the layer (ops/linear.py)
+    keys = _LAYER_KEYS_FUSED if "wqkv" in params else _LAYER_KEYS
     stacked = {
-        k: params[k] for k in _LAYER_KEYS if isinstance(params[k], QuantTensor)
+        k: params[k] for k in keys if isinstance(params[k], QuantTensor)
     }
-    layer_stack = {k: params[k] for k in _LAYER_KEYS if k not in stacked}
+    layer_stack = {k: params[k] for k in keys if k not in stacked}
 
     def body(x, xs):
         idx, sliced, k_pool_l, v_pool_l = xs
         lp = {**sliced, **stacked}
         li = idx if stacked else None
         xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
-        q = linear(xb, lp["wq"], precision, backend, li).reshape(B, 1, H, hs_real)
-        k = linear(xb, lp["wk"], precision, backend, li).reshape(B, 1, KVH, hs_real)
-        v = linear(xb, lp["wv"], precision, backend, li).reshape(B, 1, KVH, hs_real)
+        if "wqkv" in lp:
+            kv = KVH * hs_real
+            qkv = linear(xb, lp["wqkv"], precision, backend, li)
+            q = qkv[..., :D].reshape(B, 1, H, hs_real)
+            k = qkv[..., D : D + kv].reshape(B, 1, KVH, hs_real)
+            v = qkv[..., D + kv :].reshape(B, 1, KVH, hs_real)
+        else:
+            q = linear(xb, lp["wq"], precision, backend, li).reshape(B, 1, H, hs_real)
+            k = linear(xb, lp["wk"], precision, backend, li).reshape(B, 1, KVH, hs_real)
+            v = linear(xb, lp["wv"], precision, backend, li).reshape(B, 1, KVH, hs_real)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
         if hs_c != hs_real:
@@ -111,8 +123,13 @@ def paged_forward_step(
         att = att[..., :hs_real].reshape(B, 1, config.dim)
         x = x + linear(att, lp["wo"], precision, backend, li)
         xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
-        h1 = linear(xb, lp["w1"], precision, backend, li)
-        h3 = linear(xb, lp["w3"], precision, backend, li)
+        if "w13" in lp:
+            HD = lp["w13"].shape[-1] // 2
+            h13 = linear(xb, lp["w13"], precision, backend, li)
+            h1, h3 = h13[..., :HD], h13[..., HD:]
+        else:
+            h1 = linear(xb, lp["w1"], precision, backend, li)
+            h3 = linear(xb, lp["w3"], precision, backend, li)
         x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend, li)
         return x, (k_pool_l, v_pool_l)
 

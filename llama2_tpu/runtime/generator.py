@@ -301,14 +301,41 @@ class Generator:
         prompt = list(prompt_tokens)
         echo = prompt[: prompt.index(BOS)] if BOS in prompt else prompt
         if len(echo) >= steps or len(echo) < len(prompt):
-            # Sampling never runs: the loop ends inside the prompt.
+            # Sampling never runs: the loop ends inside the prompt. The
+            # reference still runs one forward per emitted token and reports
+            # its after-first-token timer (main.zig:1039-1047), so mirror
+            # that: prefill the echoed prefix for real and time it.
+            emit = echo[: min(len(echo), steps)]
             t0 = time.perf_counter()
+            if not emit:
+                return GenerateResult(
+                    tokens=[], prompt_len=len(prompt), ttft_s=0.0,
+                    total_s=0.0, tokens_per_sec=0.0,
+                )
+            cache = init_cache(
+                config, 1, self.dtype, lane_pad=self.lane_pad,
+                kv_quant=self.kv_quant,
+            )
+            feed = np.asarray([BOS] + emit[:-1], dtype=np.int32)
+            logits, cache = self._prefill(cache, feed[:1], 0)
+            float(logits[0, -1, 0])  # scalar fetch = the honest sync here
+            t_first = time.perf_counter()
+            pos = 1
+            chunk = prefill_chunk or max(1, len(feed) - 1)
+            while pos < len(feed):
+                seg = feed[pos : pos + chunk]
+                logits, cache = self._prefill(cache, seg, pos)
+                pos += len(seg)
+            float(logits[0, -1, 0])
+            t1 = time.perf_counter()
+            n = len(emit)
+            decode_s = t1 - t_first
             return GenerateResult(
-                tokens=echo[: min(len(echo), steps)],
+                tokens=emit,
                 prompt_len=len(prompt),
-                ttft_s=time.perf_counter() - t0,
-                total_s=time.perf_counter() - t0,
-                tokens_per_sec=0.0,
+                ttft_s=t_first - t0,
+                total_s=t1 - t0,
+                tokens_per_sec=(n - 1) / decode_s if n > 1 and decode_s > 0 else 0.0,
             )
 
         spec = (
