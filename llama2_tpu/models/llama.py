@@ -210,6 +210,156 @@ def _layer(
     return x, k_cache, v_cache, ks_cache, vs_cache
 
 
+def _layer_decode_stacked(
+    x: jax.Array,  # (B, 1, D)
+    layer_params: dict,
+    caches: tuple,  # stacked (L, ...) cache arrays, carried whole
+    layer_idx,
+    pos,  # (B,) int32
+    cos,
+    sin,
+    config: ModelConfig,
+    precision,
+    backend: str,
+    quant_idx,  # layer index for stacked QuantTensors (or None)
+):
+    """One decoder layer of the T=1 decode step over LAYER-STACKED caches.
+
+    The decode-path counterpart of :func:`_layer`: the KV cache never enters
+    the layer scan as xs/ys. Scan-slicing the cache costs a full cache
+    read + rebuild per step, and pallas kernels additionally force
+    materialized copies of sliced operands — measured as ~95% of the batched
+    tick at 0.35B scale (benchmarks/engine_profile.py). Here the caches ride
+    the scan CARRY un-sliced: new rows are appended in place (inside the
+    flash kernel on pallas; per-slot dynamic_update_slice on XLA) and the
+    kernels index the layer themselves via scalar prefetch, exactly like
+    ``quant_matmul_stacked`` does for weights.
+    """
+    B, T, D = x.shape
+    H, KVH, hs = config.n_heads, config.n_kv_heads, config.head_size
+    kv_quant = len(caches) == 4
+    if kv_quant:
+        k_cache, ks_cache, v_cache, vs_cache = caches
+    else:
+        k_cache, v_cache = caches
+
+    xb = ops.rmsnorm(x, layer_params["rms_att"], config.norm_eps)
+    if "wqkv" in layer_params:
+        kv = KVH * hs
+        qkv = linear(xb, layer_params["wqkv"], precision, backend, quant_idx)
+        q = qkv[..., :D].reshape(B, T, H, hs)
+        k = qkv[..., D : D + kv].reshape(B, T, KVH, hs)
+        v = qkv[..., D + kv :].reshape(B, T, KVH, hs)
+    else:
+        q = linear(xb, layer_params["wq"], precision, backend, quant_idx).reshape(B, T, H, hs)
+        k = linear(xb, layer_params["wk"], precision, backend, quant_idx).reshape(B, T, KVH, hs)
+        v = linear(xb, layer_params["wv"], precision, backend, quant_idx).reshape(B, T, KVH, hs)
+
+    q = ops.apply_rope(q, cos, sin)
+    k = ops.apply_rope(k, cos, sin)
+
+    hs_c = k_cache.shape[-1]
+    if hs_c != hs:
+        pad = [(0, 0)] * 3 + [(0, hs_c - hs)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    k_bh = k.transpose(0, 2, 1, 3)  # (B, KVH, 1, hs)
+    v_bh = v.transpose(0, 2, 1, 3)
+    pvec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    scale = 1.0 / (hs**0.5)
+    use_pallas = (
+        backend.startswith("pallas")
+        and hs_c % 128 == 0
+        and (k_cache.shape[3] % 128 == 0 or not kv_quant)
+    )
+
+    if kv_quant:
+        from llama2_tpu.ops.pallas.attention_q8 import quantize_kv_rows
+
+        k8_new, k_sc = quantize_kv_rows(k_bh)  # (B, KVH, 1, hs), (B, KVH, 1)
+        v8_new, v_sc = quantize_kv_rows(v_bh)
+        # scale rows always append via XLA (single lane element; tiny)
+        for b in range(B):
+            ks_cache = jax.lax.dynamic_update_slice(
+                ks_cache, k_sc[b][None, None], (layer_idx, b, 0, pvec[b])
+            )
+            vs_cache = jax.lax.dynamic_update_slice(
+                vs_cache, v_sc[b][None, None], (layer_idx, b, 0, pvec[b])
+            )
+        if use_pallas:
+            from llama2_tpu.ops.pallas.attention_q8 import (
+                flash_decode_attention_q8_stacked,
+            )
+
+            att, k_cache, v_cache = flash_decode_attention_q8_stacked(
+                q, k_cache, ks_cache, v_cache, vs_cache, k8_new, v8_new,
+                layer_idx, pvec, scale=scale,
+            )
+            att = att[:, None]
+        else:
+            from llama2_tpu.ops.pallas.attention_q8 import dequantize_kv
+
+            for b in range(B):
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k8_new[b : b + 1][None],
+                    (layer_idx, b, 0, pvec[b], 0),
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v8_new[b : b + 1][None],
+                    (layer_idx, b, 0, pvec[b], 0),
+                )
+            kd = dequantize_kv(
+                jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, False),
+                jax.lax.dynamic_index_in_dim(ks_cache, layer_idx, 0, False),
+            )
+            vd = dequantize_kv(
+                jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, False),
+                jax.lax.dynamic_index_in_dim(vs_cache, layer_idx, 0, False),
+            )
+            att = ops.attention(q, kd, vd, pos, precision=precision, scale=scale)
+    elif use_pallas:
+        from llama2_tpu.ops.pallas.attention import flash_decode_attention_stacked
+
+        att, k_cache, v_cache = flash_decode_attention_stacked(
+            q, k_cache, v_cache, k_bh, v_bh, layer_idx, pvec, scale=scale
+        )
+        att = att[:, None]
+    else:
+        for b in range(B):
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_bh[b : b + 1][None], (layer_idx, b, 0, pvec[b], 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_bh[b : b + 1][None], (layer_idx, b, 0, pvec[b], 0)
+            )
+        att = ops.attention(
+            q,
+            jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, False),
+            jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, False),
+            pos,
+            precision=precision,
+            scale=scale,
+        )
+
+    att = att[..., :hs].reshape(B, T, D)
+    x = x + linear(att, layer_params["wo"], precision, backend, quant_idx)
+
+    xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
+    if "w13" in layer_params:
+        HD = layer_params["w13"].shape[-1] // 2
+        h13 = linear(xb, layer_params["w13"], precision, backend, quant_idx)
+        h1, h3 = h13[..., :HD], h13[..., HD:]
+    else:
+        h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
+        h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
+    x = x + linear(
+        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, quant_idx
+    )
+    if kv_quant:
+        return x, (k_cache, ks_cache, v_cache, vs_cache)
+    return x, (k_cache, v_cache)
+
+
 _LAYER_KEYS = ("rms_att", "wq", "wk", "wv", "wo", "rms_ffn", "w1", "w2", "w3")
 _LAYER_KEYS_FUSED = ("rms_att", "wqkv", "wo", "rms_ffn", "w13", "w2")
 
@@ -288,6 +438,39 @@ def forward(
     layer_stack = {k: params[k] for k in keys if k not in stacked}
 
     kv_quant = "k_scale" in cache
+
+    if tokens.shape[1] == 1:
+        # T=1 decode: caches ride the scan carry whole (see
+        # _layer_decode_stacked — scan-slicing them costs a full cache
+        # read+rebuild per step and forces pallas operand copies)
+        if kv_quant:
+            caches = (cache["k"], cache["k_scale"], cache["v"], cache["v_scale"])
+        else:
+            caches = (cache["k"], cache["v"])
+
+        def dbody(carry, xs):
+            x, caches = carry
+            idx, layer_params = xs
+            lp = {**layer_params, **stacked}
+            x, caches = _layer_decode_stacked(
+                x, lp, caches, idx, pos, cos, sin, config, precision,
+                backend, idx if stacked else None,
+            )
+            return (x, caches), None
+
+        idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
+        (x, caches), _ = jax.lax.scan(
+            dbody, (x, caches), (idxs, layer_stack), unroll=unroll
+        )
+        if kv_quant:
+            new_cache = {
+                "k": caches[0], "k_scale": caches[1],
+                "v": caches[2], "v_scale": caches[3],
+            }
+        else:
+            new_cache = {"k": caches[0], "v": caches[1]}
+        x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+        return x, new_cache
 
     def body(carry, xs):
         x = carry

@@ -151,6 +151,228 @@ def _flash_decode(q, k_cache, v_cache, pos, scale: float, block_s: int, interpre
     return out.reshape(B, H, hs)
 
 
+def _kernel_stacked(
+    pos_ref,  # scalar prefetch: (B,) int32 — per-row position
+    layer_ref,  # scalar prefetch: (1,) int32 — layer index
+    q_ref,  # (1, G, hs) VMEM
+    k_hbm_in,  # (L, B, KVH, S, hs) HBM — aliased with k_out (unused ref)
+    v_hbm_in,
+    knew_ref,  # (1, 1, hs) VMEM — this (b, h)'s new K row
+    vnew_ref,
+    o_ref,  # (1, G, hs) VMEM
+    k_out,  # (L, B, KVH, S, hs) HBM — SAME buffer as k_hbm_in
+    v_out,
+    k_buf,  # (2, block_s, hs) VMEM scratch
+    v_buf,
+    sems,  # DMA sems (2, 3): [slot, {k, v, append}]
+    *,
+    block_s: int,
+    scale: float,
+):
+    """Decode attention over a layer-STACKED cache with in-place row append.
+
+    The cache-streaming analog of quant_matmul_stacked: the full (L, ...)
+    cache stays one un-sliced HBM buffer carried through the layer scan
+    (aliased input→output, zero copies); the kernel writes this step's K/V
+    row at [layer, b, h, pos] itself and then runs the same online-softmax
+    block loop as :func:`_kernel`. Without this, XLA materializes per-layer
+    cache plane copies every decode step (scan-sliced pallas operands can't
+    alias) — measured as the dominant term of the batched tick
+    (benchmarks/engine_profile.py).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    layer = layer_ref[0]
+    pos = pos_ref[b]
+    n_blocks = jax.lax.div(pos, block_s) + 1
+
+    # append this step's row, in place, before any block read can cover pos
+    ak = pltpu.make_async_copy(
+        knew_ref.at[0], k_out.at[layer, b, h, pl.ds(pos, 1), :], sems.at[0, 2]
+    )
+    av = pltpu.make_async_copy(
+        vnew_ref.at[0], v_out.at[layer, b, h, pl.ds(pos, 1), :], sems.at[1, 2]
+    )
+    ak.start()
+    av.start()
+    ak.wait()
+    av.wait()
+
+    def k_dma(slot, blk):
+        return pltpu.make_async_copy(
+            k_out.at[layer, b, h, pl.ds(blk * block_s, block_s), :],
+            k_buf.at[slot],
+            sems.at[slot, 0],
+        )
+
+    def v_dma(slot, blk):
+        return pltpu.make_async_copy(
+            v_out.at[layer, b, h, pl.ds(blk * block_s, block_s), :],
+            v_buf.at[slot],
+            sems.at[slot, 1],
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (G, hs)
+    G, hs = q.shape
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            k_dma(next_slot, i + 1).start()
+            v_dma(next_slot, i + 1).start()
+
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        t = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
+        s = jnp.where(t <= pos, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G, 1), jnp.float32)
+    acc0 = jnp.zeros((G, hs), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_s", "interpret")
+)
+def _flash_decode_stacked(
+    q, k_cache, v_cache, k_new, v_new, layer, pos, scale: float,
+    block_s: int, interpret: bool,
+):
+    B, H, hs = q.shape
+    KVH, S = k_cache.shape[2], k_cache.shape[3]
+    G = H // KVH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # pos (B,), layer (1,)
+        grid=(B, KVH),
+        in_specs=[
+            pl.BlockSpec(
+                (1, G, hs),
+                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # K cache (aliased out)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # V cache (aliased out)
+            pl.BlockSpec(
+                (1, 1, hs),
+                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hs),
+                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, G, hs),
+                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, hs), k_cache.dtype),
+            pltpu.VMEM((2, block_s, hs), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    q3 = q.reshape(B * KVH, G, hs)
+    out, k_cache, v_cache = pl.pallas_call(
+        functools.partial(_kernel_stacked, block_s=block_s, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * KVH, G, hs), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # global operand indices: 0=pos 1=layer 2=q 3=k 4=v 5=knew 6=vnew
+        input_output_aliases={3: 1, 4: 2},
+        interpret=interpret,
+    )(
+        pos, layer, q3, k_cache, v_cache,
+        k_new.reshape(B * KVH, 1, hs), v_new.reshape(B * KVH, 1, hs),
+    )
+    return out.reshape(B, H, hs), k_cache, v_cache
+
+
+def flash_decode_attention_stacked(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    layer,
+    pos,
+    *,
+    scale: float | None = None,
+    block_s: int = 1024,
+    interpret: bool | None = None,
+):
+    """Fused KV-append + decode attention over the layer-stacked cache.
+
+    q (B, H, hs) or (B, 1, H, hs); caches (L, B, KVH, S, hs) — returned
+    updated IN PLACE (callers must treat the inputs as consumed, scan-carry
+    style); k_new/v_new (B, KVH, 1, hs) rows for position ``pos`` (scalar or
+    per-row (B,)); ``layer`` the scan's layer index.
+    """
+    squeeze = False
+    if q.ndim == 4:
+        if q.shape[1] != 1:
+            raise ValueError("flash_decode_attention_stacked is T=1 only")
+        q = q[:, 0]
+        squeeze = True
+    if interpret is None:
+        interpret = interpret_default()
+    hs = q.shape[-1]
+    if not interpret and hs % 128 != 0:
+        raise ValueError(
+            f"stacked flash decode requires head_size % 128 == 0 (got {hs})"
+        )
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    S = k_cache.shape[3]
+    bs = min(block_s, max(256, S // 4), S)
+    while S % bs != 0:
+        bs //= 2
+    pos_vec = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],)
+    )
+    layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
+    out, k_cache, v_cache = _flash_decode_stacked(
+        q, k_cache, v_cache, k_new, v_new, layer_vec, pos_vec,
+        float(scale), bs, interpret,
+    )
+    return (out[:, None] if squeeze else out), k_cache, v_cache
+
+
 def flash_decode_attention(
     q: jax.Array,
     k_cache: jax.Array,

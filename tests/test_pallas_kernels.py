@@ -251,3 +251,97 @@ def test_generate_pallas_backend_matches_xla_tokens(tiny_checkpoint):
     a = Generator(config, params, backend="xla").generate(prompt, gen)
     b = Generator(config, params, backend="pallas").generate(prompt, gen)
     assert a.tokens == b.tokens
+
+
+def test_flash_decode_stacked_matches_oracle():
+    """Stacked-cache fused append+attend == dus + masked attention, and the
+    caches really update in place (returned arrays carry the new rows)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from llama2_tpu.ops import xla as ox
+    from llama2_tpu.ops.pallas.attention import flash_decode_attention_stacked
+
+    L, B, KVH, S, hs, G = 3, 2, 2, 32, 128, 2
+    H = KVH * G
+    rng = np.random.default_rng(0)
+    k_cache = jnp.asarray(rng.standard_normal((L, B, KVH, S, hs)), jnp.float32)
+    v_cache = jnp.asarray(rng.standard_normal((L, B, KVH, S, hs)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, hs)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, KVH, 1, hs)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, KVH, 1, hs)), jnp.float32)
+    pos = jnp.asarray([5, 9], jnp.int32)
+    layer = 1
+
+    out, k2, v2 = flash_decode_attention_stacked(
+        q, k_cache, v_cache, k_new, v_new, layer, pos, interpret=True
+    )
+    kc = np.asarray(k_cache).copy()
+    vc = np.asarray(v_cache).copy()
+    for b in range(B):
+        kc[layer, b, :, int(pos[b])] = np.asarray(k_new)[b, :, 0]
+        vc[layer, b, :, int(pos[b])] = np.asarray(v_new)[b, :, 0]
+    ref = ox.attention(
+        q[:, None], jnp.asarray(kc[layer]), jnp.asarray(vc[layer]), pos,
+        scale=1 / np.sqrt(hs),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref)[:, 0], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(k2), kc)
+    np.testing.assert_array_equal(np.asarray(v2), vc)
+
+
+def test_flash_decode_q8_stacked_matches_oracle():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from llama2_tpu.ops import xla as ox
+    from llama2_tpu.ops.pallas.attention_q8 import (
+        dequantize_kv,
+        flash_decode_attention_q8_stacked,
+        quantize_kv_rows,
+    )
+
+    L, B, KVH, S, hs, G = 2, 2, 2, 32, 128, 3
+    H = KVH * G
+    rng = np.random.default_rng(1)
+    rows = rng.standard_normal((L, B, KVH, S, hs)).astype(np.float32)
+    k8, ks = quantize_kv_rows(jnp.asarray(rows))
+    v8, vs = quantize_kv_rows(jnp.asarray(rows[::-1]))
+    q = jnp.asarray(rng.standard_normal((B, H, hs)), jnp.float32)
+    knew_f = jnp.asarray(rng.standard_normal((B, KVH, 1, hs)), jnp.float32)
+    vnew_f = jnp.asarray(rng.standard_normal((B, KVH, 1, hs)), jnp.float32)
+    k8n, ksn = quantize_kv_rows(knew_f)
+    v8n, vsn = quantize_kv_rows(vnew_f)
+    pos = jnp.asarray([3, 30], jnp.int32)
+    layer = 1
+
+    # caller contract: scale rows are written before the kernel runs
+    ks = np.asarray(ks).copy()
+    vs = np.asarray(vs).copy()
+    for b in range(B):
+        ks[layer, b, :, int(pos[b])] = np.asarray(ksn)[b, :, 0]
+        vs[layer, b, :, int(pos[b])] = np.asarray(vsn)[b, :, 0]
+
+    out, k8o, v8o = flash_decode_attention_q8_stacked(
+        q, k8, jnp.asarray(ks), v8, jnp.asarray(vs), k8n, v8n, layer, pos,
+        interpret=True,
+    )
+    k8r = np.asarray(k8).copy()
+    v8r = np.asarray(v8).copy()
+    for b in range(B):
+        k8r[layer, b, :, int(pos[b])] = np.asarray(k8n)[b, :, 0]
+        v8r[layer, b, :, int(pos[b])] = np.asarray(v8n)[b, :, 0]
+    np.testing.assert_array_equal(np.asarray(k8o), k8r)
+    np.testing.assert_array_equal(np.asarray(v8o), v8r)
+    ref = ox.attention(
+        q[:, None],
+        dequantize_kv(jnp.asarray(k8r[layer]), jnp.asarray(ks[layer])),
+        dequantize_kv(jnp.asarray(v8r[layer]), jnp.asarray(vs[layer])),
+        pos,
+        scale=1 / np.sqrt(hs),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref)[:, 0], rtol=3e-2, atol=3e-2
+    )
