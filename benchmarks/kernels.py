@@ -42,7 +42,7 @@ def _rtt():
         x = jnp.zeros(())
         np.asarray(x + 1)
         _RTT = min(
-            _take(lambda: np.asarray(x + 1)) for _ in range(3)
+            _take(lambda: np.asarray(x + 1)) for _ in range(7)
         )
     return _RTT
 
@@ -53,16 +53,37 @@ def _take(run):
     return time.perf_counter() - t0
 
 
-def _timed(run, iters):
+def _timed(run, iters, min_total=0.25):
     """run() must return the loop's jax output; syncing is via host fetch of
     a reduction (block_until_ready does not reliably block on this
-    platform's tunnel transport)."""
+    platform's tunnel transport).
+
+    Jitter robustness: the measurement is ``(elapsed - RTT) / iters`` and
+    the tunnel RTT itself jitters by multi-ms, so the in-program kernel time
+    must DOMINATE the RTT or the per-op number swings wildly (a 300-rep
+    30 us kernel is 9 ms of signal under ~27 +- 10 ms of noise — the round-1
+    committed flash-decode row swung 58%..94% of roofline this way). Callers
+    pass ``iters`` sized so iters * op_time >= min_total seconds (the
+    roofline entries re-time with scaled reps when the first estimate is too
+    short), and the best of 4 fetches is taken.
+    """
     import jax.numpy as jnp
 
     fetch = lambda: np.asarray(jnp.sum(run()).astype(np.float32))
     fetch()  # compile + warm
-    best = min(_take(fetch) for _ in range(2))
+    best = min(_take(fetch) for _ in range(4))
     return max(best - _rtt(), 1e-9) / iters
+
+
+def _timed_adaptive(make_loop, iters0, min_total=0.25):
+    """Two-phase timing: estimate with ``iters0`` reps, then re-time with
+    enough reps that in-program time >= min_total s (so RTT jitter divides
+    away). ``make_loop(n)`` returns a zero-arg runner of n reps."""
+    dt = _timed(make_loop(iters0), iters0)
+    if dt * iters0 < min_total:
+        n = int(min_total / max(dt, 1e-9)) + 1
+        dt = _timed(make_loop(n), n)
+    return dt
 
 
 def _report(name, dt, bytes_accessed=0, flops=0):
@@ -175,13 +196,17 @@ def bench_attention(iters=300):
             ("flash", lambda q, k, v: flash_decode_attention(q, k, v, pos, interpret=False)),
             ("xla", lambda q, k, v: ox.attention(q, k, v, pos)),
         ):
-            @jax.jit
-            def loop(q, k, v, f=f):
-                def it(i, c):
-                    q, k, v = c
-                    return (q + f(q, k, v) * 1e-12, k, v)
-                return jax.lax.fori_loop(0, iters, it, (q, k, v))[0]
-            dt = _timed(lambda: loop(q0, k0, v0), iters)
+            def make_loop(n, f=f, q0=q0, k0=k0, v0=v0):
+                @jax.jit
+                def loop(q, k, v):
+                    def it(i, c):
+                        q, k, v = c
+                        return (q + f(q, k, v) * 1e-12, k, v)
+                    return jax.lax.fori_loop(0, n, it, (q, k, v))[0]
+
+                return lambda: loop(q0, k0, v0)
+
+            dt = _timed_adaptive(make_loop, iters)
             _report(f"attn[S{S},pos{pos}] {name}", dt, nbytes)
 
 

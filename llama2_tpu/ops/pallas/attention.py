@@ -154,15 +154,15 @@ def _flash_decode(q, k_cache, v_cache, pos, scale: float, block_s: int, interpre
 def _kernel_stacked(
     pos_ref,  # scalar prefetch: (B,) int32 — per-row position
     layer_ref,  # scalar prefetch: (1,) int32 — layer index
-    q_ref,  # (1, G, hs) VMEM
+    q_ref,  # (1, KVH, G, hs) VMEM
     k_hbm_in,  # (L, B, KVH, S, hs) HBM — aliased with k_out (unused ref)
     v_hbm_in,
-    knew_ref,  # (1, 1, hs) VMEM — this (b, h)'s new K row
+    knew_ref,  # (1, KVH, 1, hs) VMEM — batch row b's new K rows, all heads
     vnew_ref,
-    o_ref,  # (1, G, hs) VMEM
+    o_ref,  # (1, KVH, G, hs) VMEM
     k_out,  # (L, B, KVH, S, hs) HBM — SAME buffer as k_hbm_in
     v_out,
-    k_buf,  # (2, block_s, hs) VMEM scratch
+    k_buf,  # (2, KVH, block_s, hs) VMEM scratch
     v_buf,
     sems,  # DMA sems (2, 3): [slot, {k, v, append}]
     *,
@@ -174,24 +174,27 @@ def _kernel_stacked(
     The cache-streaming analog of quant_matmul_stacked: the full (L, ...)
     cache stays one un-sliced HBM buffer carried through the layer scan
     (aliased input→output, zero copies); the kernel writes this step's K/V
-    row at [layer, b, h, pos] itself and then runs the same online-softmax
-    block loop as :func:`_kernel`. Without this, XLA materializes per-layer
-    cache plane copies every decode step (scan-sliced pallas operands can't
-    alias) — measured as the dominant term of the batched tick
+    rows for ALL heads of batch row b at [layer, b, :, pos] itself, then
+    runs the online-softmax block loop. The grid is (B,) with every KV head
+    streamed per program in one strided DMA — a (b, h) grid issues B*KVH
+    tiny DMAs per layer and becomes DMA-latency-bound at serving batch
+    sizes (measured ~195 us/layer at B=8, KVH=16 vs ~58 us at B=1).
+    Without the stacked layout, XLA materializes per-layer cache plane
+    copies every decode step (scan-sliced pallas operands can't alias) —
+    measured as the dominant term of the batched tick
     (benchmarks/engine_profile.py).
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
     layer = layer_ref[0]
     pos = pos_ref[b]
     n_blocks = jax.lax.div(pos, block_s) + 1
 
-    # append this step's row, in place, before any block read can cover pos
+    # append this step's rows, in place, before any block read can cover pos
     ak = pltpu.make_async_copy(
-        knew_ref.at[0], k_out.at[layer, b, h, pl.ds(pos, 1), :], sems.at[0, 2]
+        knew_ref.at[0], k_out.at[layer, b, :, pl.ds(pos, 1), :], sems.at[0, 2]
     )
     av = pltpu.make_async_copy(
-        vnew_ref.at[0], v_out.at[layer, b, h, pl.ds(pos, 1), :], sems.at[1, 2]
+        vnew_ref.at[0], v_out.at[layer, b, :, pl.ds(pos, 1), :], sems.at[1, 2]
     )
     ak.start()
     av.start()
@@ -200,14 +203,14 @@ def _kernel_stacked(
 
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
-            k_out.at[layer, b, h, pl.ds(blk * block_s, block_s), :],
+            k_out.at[layer, b, :, pl.ds(blk * block_s, block_s), :],
             k_buf.at[slot],
             sems.at[slot, 0],
         )
 
     def v_dma(slot, blk):
         return pltpu.make_async_copy(
-            v_out.at[layer, b, h, pl.ds(blk * block_s, block_s), :],
+            v_out.at[layer, b, :, pl.ds(blk * block_s, block_s), :],
             v_buf.at[slot],
             sems.at[slot, 1],
         )
@@ -215,8 +218,8 @@ def _kernel_stacked(
     k_dma(0, 0).start()
     v_dma(0, 0).start()
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (G, hs)
-    G, hs = q.shape
+    q = q_ref[0].astype(jnp.float32) * scale  # (KVH, G, hs)
+    KVH, G, hs = q.shape
 
     def body(i, carry):
         m, l, acc = carry
@@ -231,27 +234,33 @@ def _kernel_stacked(
         k_dma(slot, i).wait()
         v_dma(slot, i).wait()
 
-        k = k_buf[slot].astype(jnp.float32)
+        k = k_buf[slot].astype(jnp.float32)  # (KVH, bs, hs)
         v = v_buf[slot].astype(jnp.float32)
+
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
+        )  # (KVH, G, bs)
+        t = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (KVH, G, block_s), 2
         )
-        t = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (G, block_s), 1)
         s = jnp.where(t <= pos, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_new)  # (KVH, G, bs)
+        l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    acc0 = jnp.zeros((G, hs), jnp.float32)
+    m0 = jnp.full((KVH, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((KVH, G, 1), jnp.float32)
+    acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
@@ -267,49 +276,40 @@ def _flash_decode_stacked(
     KVH, S = k_cache.shape[2], k_cache.shape[3]
     G = H // KVH
 
+    def vmem_spec(shape):
+        return pl.BlockSpec(
+            shape,
+            lambda b, pos_ref, layer_ref: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # pos (B,), layer (1,)
-        grid=(B, KVH),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec(
-                (1, G, hs),
-                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            vmem_spec((1, KVH, G, hs)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # K cache (aliased out)
             pl.BlockSpec(memory_space=pltpu.ANY),  # V cache (aliased out)
-            pl.BlockSpec(
-                (1, 1, hs),
-                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, hs),
-                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            vmem_spec((1, KVH, 1, hs)),
+            vmem_spec((1, KVH, 1, hs)),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, G, hs),
-                lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            vmem_spec((1, KVH, G, hs)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_s, hs), k_cache.dtype),
-            pltpu.VMEM((2, block_s, hs), v_cache.dtype),
+            pltpu.VMEM((2, KVH, block_s, hs), k_cache.dtype),
+            pltpu.VMEM((2, KVH, block_s, hs), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
-    q3 = q.reshape(B * KVH, G, hs)
+    q4 = q.reshape(B, KVH, G, hs)
     out, k_cache, v_cache = pl.pallas_call(
         functools.partial(_kernel_stacked, block_s=block_s, scale=scale),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B * KVH, G, hs), q.dtype),
+            jax.ShapeDtypeStruct((B, KVH, G, hs), q.dtype),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
@@ -317,8 +317,8 @@ def _flash_decode_stacked(
         input_output_aliases={3: 1, 4: 2},
         interpret=interpret,
     )(
-        pos, layer, q3, k_cache, v_cache,
-        k_new.reshape(B * KVH, 1, hs), v_new.reshape(B * KVH, 1, hs),
+        pos, layer, q4, k_cache, v_cache,
+        k_new.reshape(B, KVH, 1, hs), v_new.reshape(B, KVH, 1, hs),
     )
     return out.reshape(B, H, hs), k_cache, v_cache
 

@@ -222,80 +222,137 @@ def _flash_decode_q8(
 def _kernel_stacked(
     pos_ref,  # (B,) int32
     layer_ref,  # (1,) int32
-    q_ref,  # (1, G, hs) VMEM
+    q_ref,  # (1, KVH, G, hs) VMEM
     k_hbm_in,  # (L, B, KVH, S, hs) int8 — aliased with k_out
-    ks_hbm,  # (L, B, KVH, S/lane, lane) f32 (scales appended by caller)
+    ks_hbm_in,  # (L, B, KVH, S) f32 — aliased with ks_out
     v_hbm_in,
-    vs_hbm,
-    knew_ref,  # (1, 1, hs) int8 VMEM
+    vs_hbm_in,
+    knew_ref,  # (1, KVH, 8, hs) int8 VMEM — row 0 is this step's K row
+    ksnew_ref,  # (1, KVH, 1) f32 VMEM
     vnew_ref,
-    o_ref,  # (1, G, hs) VMEM
-    k_out,  # aliased k cache
+    vsnew_ref,
+    o_ref,  # (1, KVH, G, hs) VMEM
+    k_out,  # aliased caches (same buffers as *_in)
+    ks_out,
     v_out,
-    k_buf,
-    ks_buf,
+    vs_out,
+    k_buf,  # (2, KVH, block_s, hs) int8 scratch
+    ks_buf,  # (2, KVH, block_s) f32
     v_buf,
     vs_buf,
-    sems,  # (2, 5)
+    kwin,  # (KVH, 8, hs) int8 scratch — append RMW window
+    vwin,
+    kswin,  # (KVH, 128) f32
+    vswin,
+    sems,  # (2, 6)
     *,
     block_s: int,
     scale: float,
-    lane: int = 128,
 ):
     """Stacked-cache T=1 decode attention over the INT8 KV cache with
-    in-place int8 row append (see attention._kernel_stacked for why: the
-    carried cache must never be scan-sliced into a pallas operand). Scale
-    rows are appended by the CALLER via a tiny dynamic_update_slice — a
-    single f32 element inside the lane-tiled scale array cannot be DMA'd
-    legally from the kernel."""
+    in-kernel read-modify-write appends.
+
+    Batched-serving shape: the grid is (B,) and each program streams ALL KV
+    heads' blocks in one strided DMA — a (b, h)-per-program grid issues
+    B*KVH tiny DMAs per layer and goes DMA-latency-bound (measured ~195 us
+    per layer call at B=8, KVH=16 vs ~58 us at B=1).
+
+    Appends: a single int8 row cannot be DMA'd (int8 sublane tile is 8
+    with 4-row packing, so S-dim slices must be 8-aligned multiples of 8)
+    and a single f32 scale element sits mid-lane-tile, so the kernel reads
+    the enclosing ALIGNED window (8 rows of K/V, 128 lanes of scales),
+    merges this step's row with a vector select, and writes the window back
+    — all window shapes/offsets are tile-aligned and the extra traffic is
+    ~KVH*(8*hs + 512) bytes per program. This replaces B x 4 x L
+    per-step dynamic_update_slices, measured at ~160 us PER LAYER of pure
+    op-dispatch overhead at 7B serving shapes (benchmarks; the engine step
+    decomposition made them the second-largest term after weights).
+    """
     b = pl.program_id(0)
-    h = pl.program_id(1)
     layer = layer_ref[0]
     pos = pos_ref[b]
     n_blocks = jax.lax.div(pos, block_s) + 1
 
-    ak = pltpu.make_async_copy(
-        knew_ref.at[0], k_out.at[layer, b, h, pl.ds(pos, 1), :], sems.at[0, 4]
+    # ---- RMW appends (aligned windows) ----
+    a8 = (pos // 8) * 8
+    off8 = pos - a8
+    a128 = (pos // 128) * 128
+    off128 = pos - a128
+    reads = (
+        pltpu.make_async_copy(
+            k_out.at[layer, b, :, pl.ds(a8, 8), :], kwin, sems.at[0, 4]
+        ),
+        pltpu.make_async_copy(
+            v_out.at[layer, b, :, pl.ds(a8, 8), :], vwin, sems.at[1, 4]
+        ),
+        pltpu.make_async_copy(
+            ks_out.at[layer, b, :, pl.ds(a128, 128)], kswin, sems.at[0, 5]
+        ),
+        pltpu.make_async_copy(
+            vs_out.at[layer, b, :, pl.ds(a128, 128)], vswin, sems.at[1, 5]
+        ),
     )
-    av = pltpu.make_async_copy(
-        vnew_ref.at[0], v_out.at[layer, b, h, pl.ds(pos, 1), :], sems.at[1, 4]
+    for r in reads:
+        r.start()
+    for r in reads:
+        r.wait()
+    KVH = kwin.shape[0]
+    hs = kwin.shape[2]
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, hs), 1)
+    kwin[:] = jnp.where(row8 == off8, knew_ref[0, :, 0:1, :], kwin[:])
+    vwin[:] = jnp.where(row8 == off8, vnew_ref[0, :, 0:1, :], vwin[:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KVH, 128), 1)
+    kswin[:] = jnp.where(lane == off128, ksnew_ref[0], kswin[:])
+    vswin[:] = jnp.where(lane == off128, vsnew_ref[0], vswin[:])
+    writes = (
+        pltpu.make_async_copy(
+            kwin, k_out.at[layer, b, :, pl.ds(a8, 8), :], sems.at[0, 4]
+        ),
+        pltpu.make_async_copy(
+            vwin, v_out.at[layer, b, :, pl.ds(a8, 8), :], sems.at[1, 4]
+        ),
+        pltpu.make_async_copy(
+            kswin, ks_out.at[layer, b, :, pl.ds(a128, 128)], sems.at[0, 5]
+        ),
+        pltpu.make_async_copy(
+            vswin, vs_out.at[layer, b, :, pl.ds(a128, 128)], sems.at[1, 5]
+        ),
     )
-    ak.start()
-    av.start()
-    ak.wait()
-    av.wait()
+    for w in writes:
+        w.start()
+    for w in writes:
+        w.wait()
 
-    rows = block_s // lane
-
+    # ---- online-softmax block loop ----
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
-            k_out.at[layer, b, h, pl.ds(blk * block_s, block_s), :],
+            k_out.at[layer, b, :, pl.ds(blk * block_s, block_s), :],
             k_buf.at[slot], sems.at[slot, 0],
         )
 
     def ks_dma(slot, blk):
         return pltpu.make_async_copy(
-            ks_hbm.at[layer, b, h, pl.ds(blk * rows, rows), :],
+            ks_out.at[layer, b, :, pl.ds(blk * block_s, block_s)],
             ks_buf.at[slot], sems.at[slot, 1],
         )
 
     def v_dma(slot, blk):
         return pltpu.make_async_copy(
-            v_out.at[layer, b, h, pl.ds(blk * block_s, block_s), :],
+            v_out.at[layer, b, :, pl.ds(blk * block_s, block_s), :],
             v_buf.at[slot], sems.at[slot, 2],
         )
 
     def vs_dma(slot, blk):
         return pltpu.make_async_copy(
-            vs_hbm.at[layer, b, h, pl.ds(blk * rows, rows), :],
+            vs_out.at[layer, b, :, pl.ds(blk * block_s, block_s)],
             vs_buf.at[slot], sems.at[slot, 3],
         )
 
     for d in (k_dma, ks_dma, v_dma, vs_dma):
         d(0, 0).start()
 
-    q = q_ref[0].astype(jnp.bfloat16)  # (G, hs)
-    R, hs = q.shape
+    q = q_ref[0].astype(jnp.bfloat16)  # (KVH, G, hs)
+    KVH, G, hs = q.shape
 
     def body(i, carry):
         m, l, acc = carry
@@ -310,109 +367,118 @@ def _kernel_stacked(
         for d in (k_dma, ks_dma, v_dma, vs_dma):
             d(slot, i).wait()
 
-        k = k_buf[slot].astype(jnp.bfloat16)
-        ks = ks_buf[slot].reshape(1, block_s)
+        k = k_buf[slot].astype(jnp.bfloat16)  # (KVH, bs, hs)
+        ks = ks_buf[slot].reshape(KVH, 1, block_s)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KVH, G, bs)
         s = s * (ks * scale)
-        t = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (R, block_s), 1)
+        t = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (KVH, G, block_s), 2
+        )
         s = jnp.where(t <= pos, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_buf[slot].astype(jnp.bfloat16)
-        vs = vs_buf[slot].reshape(1, block_s)
+        p = jnp.exp(s - m_new)  # (KVH, G, bs) f32
+        l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+        v = v_buf[slot].astype(jnp.bfloat16)  # (KVH, bs, hs)
+        vs = vs_buf[slot].reshape(KVH, 1, block_s)
         pv = jax.lax.dot_general(
             (p * vs).astype(jnp.bfloat16), v,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KVH, G, hs)
         acc_new = acc * alpha + pv
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((R, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((R, 1), jnp.float32)
-    acc0 = jnp.zeros((R, hs), jnp.float32)
+    m0 = jnp.full((KVH, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((KVH, G, 1), jnp.float32)
+    acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_s", "interpret", "lane")
+    jax.jit, static_argnames=("scale", "block_s", "interpret")
 )
 def _flash_decode_q8_stacked(
-    q, k8, ks, v8, vs, k_new, v_new, layer, pos, scale: float, block_s: int,
-    interpret: bool, lane: int,
+    q, k8, ks, v8, vs, k_new4, ks_new, v_new4, vs_new, layer, pos,
+    scale: float, block_s: int, interpret: bool,
 ):
     B, H, hs = q.shape
-    L, KVH, S = k8.shape[0], k8.shape[2], k8.shape[3]
+    KVH = k8.shape[2]
     G = H // KVH
 
     def vmem_spec(shape):
-        return pl.BlockSpec(
-            shape,
-            lambda b, h, pos_ref, layer_ref: (b * pl.num_programs(1) + h, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        nd = len(shape)
 
+        def imap(b, pos_ref, layer_ref, nd=nd):
+            return (b,) + (0,) * (nd - 1)
+
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KVH),
+        grid=(B,),
         in_specs=[
-            vmem_spec((1, G, hs)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k8 (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k scales
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v8 (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v scales
-            vmem_spec((1, 1, hs)),
-            vmem_spec((1, 1, hs)),
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec,  # k8 (aliased)
+            hbm_spec,  # k scales (aliased)
+            hbm_spec,  # v8 (aliased)
+            hbm_spec,  # v scales (aliased)
+            vmem_spec((1, KVH, 8, hs)),  # knew (row 0 real)
+            vmem_spec((1, KVH, 1)),  # ksnew
+            vmem_spec((1, KVH, 8, hs)),  # vnew
+            vmem_spec((1, KVH, 1)),  # vsnew
         ],
         out_specs=[
-            vmem_spec((1, G, hs)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec, hbm_spec, hbm_spec, hbm_spec,
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_s, hs), jnp.int8),
-            pltpu.VMEM((2, block_s // lane, lane), jnp.float32),
-            pltpu.VMEM((2, block_s, hs), jnp.int8),
-            pltpu.VMEM((2, block_s // lane, lane), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.VMEM((2, KVH, block_s, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, block_s), jnp.float32),
+            pltpu.VMEM((2, KVH, block_s, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, block_s), jnp.float32),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
-    q3 = q.reshape(B * KVH, G, hs)
-    ks5 = ks.reshape(L, B, KVH, S // lane, lane)
-    vs5 = vs.reshape(L, B, KVH, S // lane, lane)
-    # operands: 0=pos 1=layer 2=q 3=k8 4=ks 5=v8 6=vs 7=knew 8=vnew
-    out, k8, v8 = pl.pallas_call(
-        functools.partial(
-            _kernel_stacked, block_s=block_s, scale=scale, lane=lane
-        ),
+    q4 = q.reshape(B, KVH, G, hs)
+    # operands: 0=pos 1=layer 2=q 3=k8 4=ks 5=v8 6=vs 7=knew 8=ksnew
+    #           9=vnew 10=vsnew; outputs: 0=att 1=k8 2=ks 3=v8 4=vs
+    out, k8, ks, v8, vs = pl.pallas_call(
+        functools.partial(_kernel_stacked, block_s=block_s, scale=scale),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B * KVH, G, hs), q.dtype),
+            jax.ShapeDtypeStruct((B, KVH, G, hs), q.dtype),
             jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
             jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
         ],
-        input_output_aliases={3: 1, 5: 2},
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
         interpret=interpret,
-    )(
-        pos, layer, q3, k8, ks5, v8, vs5,
-        k_new.reshape(B * KVH, 1, hs), v_new.reshape(B * KVH, 1, hs),
-    )
-    return out.reshape(B, KVH, G, hs).reshape(B, KVH * G, hs), k8, v8
+    )(pos, layer, q4, k8, ks, v8, vs, k_new4, ks_new, v_new4, vs_new)
+    return out.reshape(B, H, hs), k8, ks, v8, vs
 
 
 def flash_decode_attention_q8_stacked(
     q: jax.Array,
     k8: jax.Array,  # (L, B, KVH, S, hs) int8 — updated IN PLACE
-    k_scale: jax.Array,  # (L, B, KVH, S) f32, rows for `pos` ALREADY written
+    k_scale: jax.Array,  # (L, B, KVH, S) f32 — updated IN PLACE
     v8: jax.Array,
     v_scale: jax.Array,
     k_new: jax.Array,  # (B, KVH, 1, hs) int8 row for position pos
+    ks_new: jax.Array,  # (B, KVH, 1) f32
     v_new: jax.Array,
+    vs_new: jax.Array,
     layer,
     pos,
     *,
@@ -420,10 +486,11 @@ def flash_decode_attention_q8_stacked(
     block_s: int = 1024,
     interpret: bool | None = None,
 ):
-    """T=1 decode attention over the layer-stacked INT8 cache; returns
-    ``(att (B, H, hs), k8, v8)`` with the int8 caches updated in place.
-    The CALLER must have already written this step's scale values into
-    k_scale/v_scale at [layer, :, :, pos] (cheap dynamic_update_slice)."""
+    """T=1 decode attention over the layer-stacked INT8 cache, appending
+    this step's rows AND scales in-kernel via aligned read-modify-write
+    windows. Returns ``(att, k8, k_scale, v8, v_scale)`` with all four
+    caches updated in place — treat the inputs as consumed, scan-carry
+    style."""
     squeeze = False
     if q.ndim == 4:
         if q.shape[1] != 1:
@@ -438,13 +505,12 @@ def flash_decode_attention_q8_stacked(
     S = k8.shape[3]
     if scale is None:
         scale = 1.0 / (hs**0.5)
-    if interpret:
-        lane = next(l for l in range(min(128, S), 0, -1) if S % l == 0)
-    else:
-        lane = 128
-        if S % lane != 0:
-            raise ValueError(f"q8 stacked decode requires seq_len % 128 == 0 (got {S})")
-    cap = min(block_s, max(256, S // 4), S)
+    if S % 128 != 0:
+        # the RMW scale window is a whole 128-lane tile; functional-mode
+        # fixtures with odd S take the model's XLA fallback instead
+        raise ValueError(f"q8 stacked decode requires seq_len % 128 == 0 (got {S})")
+    lane = 128
+    cap = min(block_s, max(256, S // 8), S)
     bs = lane
     k = 1
     while True:
@@ -456,11 +522,13 @@ def flash_decode_attention_q8_stacked(
         k += 1
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],))
     layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
-    out, k8, v8 = _flash_decode_q8_stacked(
-        q, k8, k_scale, v8, v_scale, k_new, v_new, layer_vec, pos_vec,
-        float(scale), bs, interpret, lane,
+    k_new4 = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+    v_new4 = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+    out, k8, k_scale, v8, v_scale = _flash_decode_q8_stacked(
+        q, k8, k_scale, v8, v_scale, k_new4, ks_new, v_new4, vs_new,
+        layer_vec, pos_vec, float(scale), bs, interpret,
     )
-    return (out[:, None] if squeeze else out), k8, v8
+    return (out[:, None] if squeeze else out), k8, k_scale, v8, v_scale
 
 
 def flash_decode_attention_q8(

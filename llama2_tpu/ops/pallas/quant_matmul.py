@@ -80,7 +80,7 @@ def _make_kernel(accum, stacked: bool):
     """Build the pallas kernel; ``stacked`` variants take a scalar-prefetch
     layer index first and see weight/scale blocks with a leading unit dim."""
 
-    def kernel(*refs, group_size: int, k_steps: int):
+    def kernel(*refs, group_size: int, k_steps: int, groups_total=None):
         if stacked:
             _, x_ref, w_ref, s_ref, o_ref, acc_ref = refs
             w, s = w_ref[0], s_ref[0]
@@ -93,6 +93,14 @@ def _make_kernel(accum, stacked: bool):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
+        if groups_total is not None:
+            # ragged K tiling: the last K tile reads past the array — weights
+            # are int8 (any bits decode finite) and x is zero-padded by the
+            # wrapper, but OOB SCALES can be arbitrary f32 bits (NaN), so
+            # SELECT them to zero (a where never propagates the garbage)
+            sg = s.shape[0]
+            gid = k * sg + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            s = jnp.where(gid < groups_total, s, 0.0)
         acc_ref[:] = accum(x_ref[:], w, s, acc_ref[:], group_size)
 
         @pl.when(k == k_steps - 1)
@@ -126,14 +134,18 @@ def _quant_matmul_2d(
     mode: str,
 ) -> jax.Array:
     M, K = x.shape
-    _, N = q.shape
-    k_steps = cdiv(K, block_k)
+    Kq, N = q.shape
+    k_steps = cdiv(Kq, block_k)
     grid = (cdiv(M, block_m), cdiv(N, block_n), k_steps)
     sg = block_k // group_size
     kern = _kernel_fast if mode == "fast" else _kernel
+    groups_total = Kq // group_size if Kq % block_k else None
 
     out = pl.pallas_call(
-        functools.partial(kern, group_size=group_size, k_steps=k_steps),
+        functools.partial(
+            kern, group_size=group_size, k_steps=k_steps,
+            groups_total=groups_total,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
@@ -184,14 +196,18 @@ def _quant_matmul_stacked_2d(
     stacked weights with no copy.
     """
     M, K = x.shape
-    L, _, N = q3.shape
-    k_steps = cdiv(K, block_k)
+    L, Kq, N = q3.shape
+    k_steps = cdiv(Kq, block_k)
     grid = (cdiv(M, block_m), cdiv(N, block_n), k_steps)
     sg = block_k // group_size
     kern = _kernel_fast_stacked if mode == "fast" else _kernel_stacked
+    groups_total = Kq // group_size if Kq % block_k else None
 
     out = pl.pallas_call(
-        functools.partial(kern, group_size=group_size, k_steps=k_steps),
+        functools.partial(
+            kern, group_size=group_size, k_steps=k_steps,
+            groups_total=groups_total,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -262,8 +278,9 @@ def quant_matmul_stacked(
     bn = _pick_bn(N, bk, block_n)
 
     Mp = round_up(M, bm)
-    if Mp != M:
-        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    Kp = round_up(K, bk)  # ragged K tile: zero-pad x so OOB partials vanish
+    if Mp != M or Kp != K:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
     out = _quant_matmul_stacked_2d(
         x2, w.q, w.scale, layer, G, bm, bn, bk, interpret, mode
     )
@@ -273,19 +290,25 @@ def quant_matmul_stacked(
 
 
 def _pick_bk(K: int, G: int, block_k: int) -> int:
-    """Largest legal K tile: divides K, whole quant groups, and the scale
-    block passes Mosaic's layout rule — its second-to-last dim (bk // G)
-    must be a multiple of 8 OR the tile must cover all of K (block == whole
-    array dim). Falls back to bk = K, which is always legal."""
+    """Largest legal K tile: whole quant groups, and the scale block passes
+    Mosaic's layout rule — its second-to-last dim (bk // G) must be a
+    multiple of 8 OR the tile must cover all of K (block == whole array
+    dim). Prefers a tile that divides K; when none exists (e.g. Llama-7B's
+    hidden_dim 11008 with G=64 admits no 512-multiple divisor) it returns a
+    RAGGED tile — the grid ceil-divides, the wrapper zero-pads x, and the
+    kernel masks the out-of-range groups. One whole-K tile would be legal
+    but serializes K/G tiny group-dots per grid step (measured 12%% of HBM
+    roofline on the 7B w2)."""
     cap = min(block_k, K)
-    best = K
     bk = (cap // G) * G
     while bk >= G:
         if K % bk == 0 and (bk // G) % 8 == 0:
-            best = bk
-            break
+            return bk
         bk -= G
-    return best
+    ragged = (cap // (8 * G)) * 8 * G
+    if ragged >= 8 * G and K > ragged:
+        return ragged
+    return K
 
 
 _FAST_TILE_BYTES = 4 * 1024 * 1024  # bn*bk int8 tile cap (x2 double-buffered)
@@ -350,8 +373,9 @@ def quant_matmul(
     bn = _pick_bn(N, bk, block_n)
 
     Mp = round_up(M, bm)
-    if Mp != M:
-        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    Kp = round_up(K, bk)  # ragged K tile: zero-pad x so OOB partials vanish
+    if Mp != M or Kp != K:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
     out = _quant_matmul_2d(x2, w.q, w.scale, G, bm, bn, bk, interpret, mode)
     if Mp != M:
         out = out[:M]

@@ -303,7 +303,7 @@ def test_flash_decode_q8_stacked_matches_oracle():
         quantize_kv_rows,
     )
 
-    L, B, KVH, S, hs, G = 2, 2, 2, 32, 128, 3
+    L, B, KVH, S, hs, G = 2, 2, 2, 128, 128, 3
     H = KVH * G
     rng = np.random.default_rng(1)
     rows = rng.standard_normal((L, B, KVH, S, hs)).astype(np.float32)
@@ -314,27 +314,26 @@ def test_flash_decode_q8_stacked_matches_oracle():
     vnew_f = jnp.asarray(rng.standard_normal((B, KVH, 1, hs)), jnp.float32)
     k8n, ksn = quantize_kv_rows(knew_f)
     v8n, vsn = quantize_kv_rows(vnew_f)
-    pos = jnp.asarray([3, 30], jnp.int32)
+    pos = jnp.asarray([3, 126], jnp.int32)
     layer = 1
 
-    # caller contract: scale rows are written before the kernel runs
+    out, k8o, kso, v8o, vso = flash_decode_attention_q8_stacked(
+        q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, layer, pos, interpret=True,
+    )
+    # expected in-place RMW appends (rows + scales) at [layer, b, :, pos_b]
     ks = np.asarray(ks).copy()
     vs = np.asarray(vs).copy()
-    for b in range(B):
-        ks[layer, b, :, int(pos[b])] = np.asarray(ksn)[b, :, 0]
-        vs[layer, b, :, int(pos[b])] = np.asarray(vsn)[b, :, 0]
-
-    out, k8o, v8o = flash_decode_attention_q8_stacked(
-        q, k8, jnp.asarray(ks), v8, jnp.asarray(vs), k8n, v8n, layer, pos,
-        interpret=True,
-    )
     k8r = np.asarray(k8).copy()
     v8r = np.asarray(v8).copy()
     for b in range(B):
+        ks[layer, b, :, int(pos[b])] = np.asarray(ksn)[b, :, 0]
+        vs[layer, b, :, int(pos[b])] = np.asarray(vsn)[b, :, 0]
         k8r[layer, b, :, int(pos[b])] = np.asarray(k8n)[b, :, 0]
         v8r[layer, b, :, int(pos[b])] = np.asarray(v8n)[b, :, 0]
     np.testing.assert_array_equal(np.asarray(k8o), k8r)
     np.testing.assert_array_equal(np.asarray(v8o), v8r)
+    np.testing.assert_array_equal(np.asarray(kso), ks)
+    np.testing.assert_array_equal(np.asarray(vso), vs)
     ref = ox.attention(
         q[:, None],
         dequantize_kv(jnp.asarray(k8r[layer]), jnp.asarray(ks[layer])),
@@ -345,3 +344,41 @@ def test_flash_decode_q8_stacked_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref)[:, 0], rtol=3e-2, atol=3e-2
     )
+
+
+def test_quant_matmul_ragged_k_tiling():
+    """K admitting no legal dividing tile (e.g. Llama-7B w2's 11008) takes
+    the ragged path: ceil grid + zero-padded x + masked OOB scale groups.
+    Must be exact vs the dequant reference in accurate mode."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from llama2_tpu.ops.pallas.quant_matmul import (
+        _pick_bk,
+        quant_matmul,
+        quant_matmul_stacked,
+    )
+    from llama2_tpu.quant.q8 import QuantTensor, dequantize, quantize
+
+    # G=8: bk needs (bk/8)%8==0 i.e. bk % 64 == 0; K=88 has no such divisor
+    G, K, N, L, M = 8, 88, 128, 2, 4
+    assert _pick_bk(K, G, 64) == 64 and K % 64 != 0  # ragged is exercised
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((L, K, N)).astype(np.float32) * 0.1
+    qt = quantize(w, G)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+
+    want = jnp.dot(x, dequantize(qt)[1], precision=jax.lax.Precision.HIGHEST)
+    got = quant_matmul_stacked(x, qt, 1, block_k=64, mode="accurate")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    got_fast = quant_matmul_stacked(x, qt, 1, block_k=64, mode="fast")
+    np.testing.assert_allclose(np.asarray(got_fast), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+    qt1 = QuantTensor(q=qt.q[0], scale=qt.scale[0], group_size=G)
+    want0 = jnp.dot(x, dequantize(qt1), precision=jax.lax.Precision.HIGHEST)
+    got0 = quant_matmul(x, qt1, block_k=64, mode="accurate")
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
+                               rtol=1e-5, atol=1e-5)
