@@ -32,9 +32,9 @@ _RTT = None
 
 
 def _rtt():
-    """Fixed dispatch+fetch round-trip cost of this environment's TPU tunnel
-    (~25-30 ms measured); must be calibrated out or it reads as ~RTT/iters
-    us/op of phantom kernel time."""
+    """Approximate dispatch+fetch round trip of the TPU tunnel — used only
+    for coarse sanity output; the measurements themselves are differential
+    (see _timed) and do not depend on it."""
     global _RTT
     if _RTT is None:
         import jax.numpy as jnp
@@ -53,36 +53,39 @@ def _take(run):
     return time.perf_counter() - t0
 
 
-def _timed(run, iters, min_total=0.25):
-    """run() must return the loop's jax output; syncing is via host fetch of
-    a reduction (block_until_ready does not reliably block on this
-    platform's tunnel transport).
+def _timed(make_loop, iters, min_total=0.1, reps=4):
+    """Differential timing: per-op = (wall(2n reps) - wall(n reps)) / n.
 
-    Jitter robustness: the measurement is ``(elapsed - RTT) / iters`` and
-    the tunnel RTT itself jitters by multi-ms, so the in-program kernel time
-    must DOMINATE the RTT or the per-op number swings wildly (a 300-rep
-    30 us kernel is 9 ms of signal under ~27 +- 10 ms of noise — the round-1
-    committed flash-decode row swung 58%..94% of roofline this way). Callers
-    pass ``iters`` sized so iters * op_time >= min_total seconds (the
-    roofline entries re-time with scaled reps when the first estimate is too
-    short), and the best of 4 fetches is taken.
+    The tunnel's ~25-30 ms fetch round trip JITTERS by multi-ms and drifts
+    between calibration and measurement, so the old subtract-a-calibrated-RTT
+    scheme swung the committed flash-decode roofline row between 58%% and
+    94%% run to run (VERDICT round-1 weak #1). Subtracting a same-shape
+    half-length loop cancels the round trip and dispatch overhead exactly —
+    takes of both lengths are interleaved so drift hits both equally, the
+    min of each is used, and n is first grown until n*op >= min_total so
+    division leverage keeps the residual under a few percent.
+
+    ``make_loop(n)`` must return a zero-arg callable running n reps and
+    returning the loop's jax output (sync is a host fetch of a reduction;
+    block_until_ready does not block on this transport).
     """
     import jax.numpy as jnp
 
-    fetch = lambda: np.asarray(jnp.sum(run()).astype(np.float32))
-    fetch()  # compile + warm
-    best = min(_take(fetch) for _ in range(4))
-    return max(best - _rtt(), 1e-9) / iters
+    def measure(n):
+        run1, run2 = make_loop(n), make_loop(2 * n)
+        f1 = lambda: np.asarray(jnp.sum(run1()).astype(np.float32))
+        f2 = lambda: np.asarray(jnp.sum(run2()).astype(np.float32))
+        f1()
+        f2()  # compile + warm both lengths
+        t1, t2 = [], []
+        for _ in range(reps):
+            t1.append(_take(f1))
+            t2.append(_take(f2))
+        return max(min(t2) - min(t1), 1e-9) / n
 
-
-def _timed_adaptive(make_loop, iters0, min_total=0.25):
-    """Two-phase timing: estimate with ``iters0`` reps, then re-time with
-    enough reps that in-program time >= min_total s (so RTT jitter divides
-    away). ``make_loop(n)`` returns a zero-arg runner of n reps."""
-    dt = _timed(make_loop(iters0), iters0)
-    if dt * iters0 < min_total:
-        n = int(min_total / max(dt, 1e-9)) + 1
-        dt = _timed(make_loop(n), n)
+    dt = measure(iters)
+    if dt * iters < min_total:
+        dt = measure(int(min_total / dt) + 1)
     return dt
 
 
@@ -118,13 +121,15 @@ def bench_rmsnorm(iters=None):
 
         for name, f in (("xla", lambda x: ox.rmsnorm(x, w)),
                         ("pallas", lambda x: p_rms(x, w, interpret=False))):
-            @jax.jit
-            def loop(pool, w=w, f=f):
-                def it(i, acc):
-                    x = jax.lax.dynamic_index_in_dim(pool, i % chunks, 0, False)
-                    return acc + jnp.sum(f(x))
-                return jax.lax.fori_loop(0, n_iters, it, jnp.float32(0))
-            dt = _timed(lambda: loop(pool), n_iters)
+            def make_loop(n, f=f):
+                @jax.jit
+                def loop(pool, w=w):
+                    def it(i, acc):
+                        x = jax.lax.dynamic_index_in_dim(pool, i % chunks, 0, False)
+                        return acc + jnp.sum(f(x))
+                    return jax.lax.fori_loop(0, n, it, jnp.float32(0))
+                return lambda: loop(pool)
+            dt = _timed(make_loop, n_iters)
             _report(f"rmsnorm[{R}x{D}] {name}", dt, chunk)  # read-side bytes
 
 
@@ -141,14 +146,16 @@ def bench_swiglu(iters=None):
         pa = jnp.asarray(rng.standard_normal((chunks, R, D)).astype(np.float32))
         pb = jnp.asarray(rng.standard_normal((chunks, R, D)).astype(np.float32))
         for name, f in (("xla", ox.swiglu), ("pallas", lambda a, b: p_swi(a, b, interpret=False))):
-            @jax.jit
-            def loop(pa, pb, f=f):
-                def it(i, acc):
-                    a = jax.lax.dynamic_index_in_dim(pa, i % chunks, 0, False)
-                    b = jax.lax.dynamic_index_in_dim(pb, i % chunks, 0, False)
-                    return acc + jnp.sum(f(a, b))
-                return jax.lax.fori_loop(0, n_iters, it, jnp.float32(0))
-            dt = _timed(lambda: loop(pa, pb), n_iters)
+            def make_loop(n, f=f):
+                @jax.jit
+                def loop(pa, pb):
+                    def it(i, acc):
+                        a = jax.lax.dynamic_index_in_dim(pa, i % chunks, 0, False)
+                        b = jax.lax.dynamic_index_in_dim(pb, i % chunks, 0, False)
+                        return acc + jnp.sum(f(a, b))
+                    return jax.lax.fori_loop(0, n, it, jnp.float32(0))
+                return lambda: loop(pa, pb)
+            dt = _timed(make_loop, n_iters)
             _report(f"swiglu[{R}x{D}] {name}", dt, chunk)
 
 
@@ -170,13 +177,15 @@ def bench_quant_matmul(iters=300):
                 x, dequantize(t), precision=jax.lax.Precision.HIGHEST)),
         )
         for name, f in variants:
-            @jax.jit
-            def loop(x, q, s, f=f):
-                def it(i, x):
-                    y = f(x)
-                    return x + y[:, :K] * 1e-12
-                return jax.lax.fori_loop(0, iters, it, x)
-            dt = _timed(lambda: loop(x0, t.q, t.scale), iters)
+            def make_loop(n, f=f, x0=x0, t=t):
+                @jax.jit
+                def loop(x, q, s):
+                    def it(i, x):
+                        y = f(x)
+                        return x + y[:, :K] * 1e-12
+                    return jax.lax.fori_loop(0, n, it, x)
+                return lambda: loop(x0, t.q, t.scale)
+            dt = _timed(make_loop, iters)
             _report(f"q8matmul[{M}x{K}x{N}] {name}", dt, nbytes, flops)
 
 
@@ -206,7 +215,7 @@ def bench_attention(iters=300):
 
                 return lambda: loop(q0, k0, v0)
 
-            dt = _timed_adaptive(make_loop, iters)
+            dt = _timed(make_loop, iters)
             _report(f"attn[S{S},pos{pos}] {name}", dt, nbytes)
 
 
@@ -229,13 +238,15 @@ def bench_prefill(iters=100):
                 q, k, v, 0, interpret=False)),
             ("xla", lambda q, k, v: ox.attention(q, k, v, T - 1)),
         ):
-            @jax.jit
-            def loop(q, k, v, f=f):
-                def it(i, c):
-                    q, k, v = c
-                    return (q + f(q, k, v) * 1e-12, k, v)
-                return jax.lax.fori_loop(0, iters, it, (q, k, v))[0]
-            dt = _timed(lambda: loop(q0, k0, v0), iters)
+            def make_loop(n, f=f, q0=q0, k0=k0, v0=v0):
+                @jax.jit
+                def loop(q, k, v):
+                    def it(i, c):
+                        q, k, v = c
+                        return (q + f(q, k, v) * 1e-12, k, v)
+                    return jax.lax.fori_loop(0, n, it, (q, k, v))[0]
+                return lambda: loop(q0, k0, v0)
+            dt = _timed(make_loop, iters)
             _report(f"prefill[T{T},S{S}] {name}", dt, flops=flops)
 
 
@@ -255,13 +266,15 @@ def bench_sample(iters=1000):
             sampling.probs_from_logits(l, jnp.float32(1.0)), jnp.float32(0.9), k).astype(jnp.float32)),
     )
     for name, f in variants:
-        @jax.jit
-        def loop(l, f=f):
-            def it(i, l):
-                t = f(l, jax.random.fold_in(key, i))
-                return l + t * 1e-12
-            return jax.lax.fori_loop(0, iters, it, l)
-        dt = _timed(lambda: loop(logits0), iters)
+        def make_loop(n, f=f):
+            @jax.jit
+            def loop(l):
+                def it(i, l):
+                    t = f(l, jax.random.fold_in(key, i))
+                    return l + t * 1e-12
+                return jax.lax.fori_loop(0, n, it, l)
+            return lambda: loop(logits0)
+        dt = _timed(make_loop, iters)
         _report(f"sample[{V}] {name}", dt)  # VMEM-resident: us/op only
 
 
