@@ -96,7 +96,11 @@ def main(argv=None) -> int:
         return go
 
     def variant(name, backend, kv_quant, per_row_pos, sample):
-        cache = init_cache(config, B, kv_quant=kv_quant)
+        # lane_pad exactly like the engines do — without it a non-128 head
+        # size silently measures the XLA dequant-fallback path (~4x slower),
+        # which burned a day of round-2 profiling
+        lane_pad = backend.startswith("pallas") and config.head_size % 128 != 0
+        cache = init_cache(config, B, kv_quant=kv_quant, lane_pad=lane_pad)
 
         def step(params, tokens, pos, cache):
             hidden, cache = forward(

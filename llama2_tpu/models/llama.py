@@ -401,7 +401,7 @@ def fuse_layer_params(params: dict) -> dict:
     return out
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "backend", "unroll"))
+@partial(jax.jit, static_argnames=("config", "precision", "backend", "unroll"), inline=True)
 def forward(
     params: dict,
     cache: dict,

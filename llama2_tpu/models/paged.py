@@ -6,10 +6,12 @@ decode: instead of a dense per-slot cache, K/V live in per-layer page pools
 int32 page table. The layer loop is the same ``lax.scan`` — the pools' leading
 layer dim scans exactly like the dense cache's.
 
-Per layer: project q/k/v for the B current tokens, scatter the new K/V rows
-into each row's (page, row) slot (host-precomputed from pos — allocation is
-host-side bookkeeping), then attend through the table with the paged flash
-kernel (``backend="pallas"``) or its gather oracle (``backend="xla"``).
+Per layer: project q/k/v for the B current tokens, then the layer-stacked
+paged flash kernel appends each row's K/V at its (page, row) slot
+(host-precomputed from pos — allocation is host-side bookkeeping) and
+attends through the table in one launch (``backend="pallas"``); the XLA
+path writes rows with per-slot dynamic_update_slices and runs the gather
+oracle. Pools ride the layer scan's carry un-sliced.
 """
 
 from __future__ import annotations
@@ -25,25 +27,11 @@ from llama2_tpu.ops import xla as ops
 from llama2_tpu.ops.linear import linear
 
 
-def _scatter_rows(pool_l, rows, page_ids, row_ids):
-    """pool_l (P, KVH, page, hs) <- rows (B, KVH, hs) at per-row coords.
-
-    Unrolled over the (static, small) batch: B in-place single-row
-    dynamic_update_slices. A scan adds real per-trip cost inside the decode
-    loop, and a vmapped update lowers to scatter + full-pool copy
-    (benchmarks/engine_profile.py)."""
-    for b in range(rows.shape[0]):
-        upd = rows[b][None, :, None, :]  # (1, KVH, 1, hs)
-        pool_l = jax.lax.dynamic_update_slice(
-            pool_l, upd.astype(pool_l.dtype), (page_ids[b], 0, row_ids[b], 0)
-        )
-    return pool_l
-
-
 @partial(
     jax.jit,
     static_argnames=("config", "precision", "backend", "unroll"),
     donate_argnames=("k_pool", "v_pool"),
+    inline=True,
 )
 def paged_forward_step(
     params: dict,
@@ -79,8 +67,14 @@ def paged_forward_step(
     }
     layer_stack = {k: params[k] for k in keys if k not in stacked}
 
-    def body(x, xs):
-        idx, sliced, k_pool_l, v_pool_l = xs
+    def body(carry, xs):
+        # pools ride the CARRY un-sliced (the xs/ys form cost a full pool
+        # read + rebuild per decode step — the round-1 paged engine ran at
+        # HALF the dense engine's throughput for exactly this reason); the
+        # stacked kernel indexes the layer via scalar prefetch and appends
+        # the step's rows itself
+        x, k_pool, v_pool = carry
+        idx, sliced = xs
         lp = {**sliced, **stacked}
         li = idx if stacked else None
         xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
@@ -99,26 +93,39 @@ def paged_forward_step(
         if hs_c != hs_real:
             pad = [(0, 0)] * 3 + [(0, hs_c - hs_real)]
             q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-
-        k_pool_l = _scatter_rows(k_pool_l, k[:, 0], page_ids, row_ids)
-        v_pool_l = _scatter_rows(v_pool_l, v[:, 0], page_ids, row_ids)
+        k_bh = k.transpose(0, 2, 1, 3)  # (B, KVH, 1, hs)
+        v_bh = v.transpose(0, 2, 1, 3)
 
         scale = 1.0 / (hs_real**0.5)
         if backend.startswith("pallas"):
             from llama2_tpu.ops.pallas.paged_attention import (
-                paged_decode_attention,
+                paged_decode_attention_stacked,
             )
 
-            att = paged_decode_attention(
-                q, k_pool_l, v_pool_l, table, pos, scale=scale
+            att, k_pool, v_pool = paged_decode_attention_stacked(
+                q, k_pool, v_pool, table, k_bh, v_bh,
+                page_ids, row_ids, idx, pos, scale=scale,
             )
+            att = att[:, None]
         else:
             from llama2_tpu.ops.pallas.paged_attention import (
                 paged_attention_oracle,
             )
 
+            for b in range(B):
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, k_bh[b][None, None],
+                    (idx, page_ids[b], 0, row_ids[b], 0),
+                )
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, v_bh[b][None, None],
+                    (idx, page_ids[b], 0, row_ids[b], 0),
+                )
             att = paged_attention_oracle(
-                q, k_pool_l, v_pool_l, table, pos, scale=scale
+                q,
+                jax.lax.dynamic_index_in_dim(k_pool, idx, 0, False),
+                jax.lax.dynamic_index_in_dim(v_pool, idx, 0, False),
+                table, pos, scale=scale,
             )
         att = att[..., :hs_real].reshape(B, 1, config.dim)
         x = x + linear(att, lp["wo"], precision, backend, li)
@@ -131,11 +138,11 @@ def paged_forward_step(
             h1 = linear(xb, lp["w1"], precision, backend, li)
             h3 = linear(xb, lp["w3"], precision, backend, li)
         x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend, li)
-        return x, (k_pool_l, v_pool_l)
+        return (x, k_pool, v_pool), None
 
     idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
-    x, (k_pool, v_pool) = jax.lax.scan(
-        body, x, (idxs, layer_stack, k_pool, v_pool), unroll=unroll
+    (x, k_pool, v_pool), _ = jax.lax.scan(
+        body, (x, k_pool, v_pool), (idxs, layer_stack), unroll=unroll
     )
     x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
     return x, k_pool, v_pool

@@ -109,7 +109,7 @@ def _kernel(
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_s", "interpret"), inline=True)
 def _flash_decode(q, k_cache, v_cache, pos, scale: float, block_s: int, interpret: bool):
     B, H, hs = q.shape
     KVH, S = k_cache.shape[1], k_cache.shape[2]
@@ -266,7 +266,7 @@ def _kernel_stacked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_s", "interpret")
+    jax.jit, static_argnames=("scale", "block_s", "interpret"), inline=True
 )
 def _flash_decode_stacked(
     q, k_cache, v_cache, k_new, v_new, layer, pos, scale: float,

@@ -156,7 +156,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_s", "interpret", "lane")
+    jax.jit, static_argnames=("scale", "block_s", "interpret", "lane"),
+    inline=True,
 )
 def _flash_decode_q8(
     q, k8, ks, v8, vs, pos, scale: float, block_s: int, interpret: bool,
@@ -401,7 +402,7 @@ def _kernel_stacked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_s", "interpret")
+    jax.jit, static_argnames=("scale", "block_s", "interpret"), inline=True
 )
 def _flash_decode_q8_stacked(
     q, k8, ks, v8, vs, k_new4, ks_new, v_new4, vs_new, layer, pos,

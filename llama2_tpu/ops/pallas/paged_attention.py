@@ -108,7 +108,7 @@ def _kernel(
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"), inline=True)
 def _paged_decode(q, k_pool, v_pool, table, pos, scale: float, interpret: bool):
     B, H, hs = q.shape
     P, KVH, page, _ = k_pool.shape
@@ -181,6 +181,218 @@ def paged_decode_attention(
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],))
     out = _paged_decode(q, k_pool, v_pool, table, pos, float(scale), interpret)
     return out[:, None] if squeeze else out
+
+
+def _kernel_stacked(
+    pos_ref,  # (B,) int32
+    table_ref,  # (B, max_pages) int32
+    wpage_ref,  # (B,) int32 — physical page receiving this step's row
+    wrow_ref,  # (B,) int32 — row within that page
+    layer_ref,  # (1,) int32
+    q_ref,  # (1, KVH, G, hs) VMEM
+    k_hbm_in,  # (L, P, KVH, page, hs) HBM — aliased with k_out
+    v_hbm_in,
+    knew_ref,  # (1, KVH, 1, hs) VMEM
+    vnew_ref,
+    o_ref,  # (1, KVH, G, hs) VMEM
+    k_out,  # aliased pools
+    v_out,
+    k_buf,  # (2, KVH, page, hs) VMEM scratch
+    v_buf,
+    sems,  # (2, 3)
+    *,
+    page: int,
+    scale: float,
+):
+    """Layer-stacked paged decode attention with in-place row append.
+
+    The paged analog of attention._kernel_stacked: pools ride the layer
+    scan's CARRY un-sliced (scan-slicing them cost a full pool read+rebuild
+    per decode step — the round-1 paged engine ran at half the dense
+    engine's throughput for exactly this reason), the kernel indexes the
+    layer via scalar prefetch, appends this step's K/V rows for all heads
+    at (write_page, write_row) itself (single-row f32 DMAs are layout-legal;
+    int8 pools would need the q8 kernel's RMW windows), and the grid is (B,)
+    with every KV head of a page streamed in one DMA.
+    """
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    pos = pos_ref[b]
+    n_pages = jax.lax.div(pos, page) + 1
+
+    ak = pltpu.make_async_copy(
+        knew_ref.at[0],
+        k_out.at[layer, wpage_ref[b], :, pl.ds(wrow_ref[b], 1), :],
+        sems.at[0, 2],
+    )
+    av = pltpu.make_async_copy(
+        vnew_ref.at[0],
+        v_out.at[layer, wpage_ref[b], :, pl.ds(wrow_ref[b], 1), :],
+        sems.at[1, 2],
+    )
+    ak.start()
+    av.start()
+    ak.wait()
+    av.wait()
+
+    def k_dma(slot, i):
+        return pltpu.make_async_copy(
+            k_out.at[layer, table_ref[b, i]], k_buf.at[slot], sems.at[slot, 0]
+        )
+
+    def v_dma(slot, i):
+        return pltpu.make_async_copy(
+            v_out.at[layer, table_ref[b, i]], v_buf.at[slot], sems.at[slot, 1]
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (KVH, G, hs)
+    KVH, G, hs = q.shape
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_pages)
+        def _():
+            k_dma(next_slot, i + 1).start()
+            v_dma(next_slot, i + 1).start()
+
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+
+        k = k_buf[slot].astype(jnp.float32)  # (KVH, page, hs)
+        v = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (KVH, G, page)
+        t = i * page + jax.lax.broadcasted_iota(jnp.int32, (KVH, G, page), 2)
+        s = jnp.where(t <= pos, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((KVH, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((KVH, G, 1), jnp.float32)
+    acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"), inline=True)
+def _paged_decode_stacked(
+    q, k_pool, v_pool, table, k_new, v_new, wpage, wrow, layer, pos,
+    scale: float, interpret: bool,
+):
+    B, H, hs = q.shape
+    L, P, KVH, page, _ = k_pool.shape
+    G = H // KVH
+
+    def vmem_spec(shape):
+        return pl.BlockSpec(
+            shape,
+            lambda b, *refs: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # pos, table, wpage, wrow, layer
+        grid=(B,),
+        in_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec,  # k pool (aliased)
+            hbm_spec,  # v pool (aliased)
+            vmem_spec((1, KVH, 1, hs)),
+            vmem_spec((1, KVH, 1, hs)),
+        ],
+        out_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec,
+            hbm_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KVH, page, hs), k_pool.dtype),
+            pltpu.VMEM((2, KVH, page, hs), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    q4 = q.reshape(B, KVH, G, hs)
+    # operands: 0=pos 1=table 2=wpage 3=wrow 4=layer 5=q 6=k 7=v 8=knew 9=vnew
+    out, k_pool, v_pool = pl.pallas_call(
+        functools.partial(_kernel_stacked, page=page, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, G, hs), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(
+        pos, table, wpage, wrow, layer, q4, k_pool, v_pool,
+        k_new.reshape(B, KVH, 1, hs), v_new.reshape(B, KVH, 1, hs),
+    )
+    return out.reshape(B, H, hs), k_pool, v_pool
+
+
+def paged_decode_attention_stacked(
+    q: jax.Array,
+    k_pool: jax.Array,  # (L, P, KVH, page, hs) — updated IN PLACE
+    v_pool: jax.Array,
+    table: jax.Array,  # (B, max_pages) int32
+    k_new: jax.Array,  # (B, KVH, 1, hs) rows for the write coords
+    v_new: jax.Array,
+    write_page: jax.Array,  # (B,) int32 physical page for this step's row
+    write_row: jax.Array,  # (B,) int32 row within that page
+    layer,
+    pos,
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Fused append + paged decode attention over layer-stacked pools.
+
+    Returns ``(att (B, H, hs) or (B, 1, H, hs), k_pool, v_pool)`` with the
+    pools updated in place (treat inputs as consumed, scan-carry style).
+    """
+    squeeze = False
+    if q.ndim == 4:
+        if q.shape[1] != 1:
+            raise ValueError("paged stacked decode is single-query (T=1)")
+        q = q[:, 0]
+        squeeze = True
+    if interpret is None:
+        interpret = interpret_default()
+    hs = q.shape[-1]
+    if not interpret and hs % 128 != 0:
+        raise ValueError(f"paged decode requires head_size % 128 == 0 (got {hs})")
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    B = q.shape[0]
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    out, k_pool, v_pool = _paged_decode_stacked(
+        q, k_pool, v_pool, table,
+        k_new, v_new,
+        jnp.asarray(write_page, jnp.int32).reshape(-1),
+        jnp.asarray(write_row, jnp.int32).reshape(-1),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos, float(scale), interpret,
+    )
+    return (out[:, None] if squeeze else out), k_pool, v_pool
 
 
 def paged_attention_oracle(q, k_pool, v_pool, table, pos, scale=None):

@@ -107,7 +107,7 @@ def _kernel(
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_s", "interpret"), inline=True)
 def _flash_prefill(q, k_cache, v_cache, pos, scale, block_q, block_s, interpret):
     B, T, H, hs = q.shape
     KVH, S = k_cache.shape[1], k_cache.shape[2]

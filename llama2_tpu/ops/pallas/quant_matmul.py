@@ -121,6 +121,7 @@ _kernel_fast_stacked = _make_kernel(_accum_fast, stacked=True)
     static_argnames=(
         "group_size", "block_m", "block_n", "block_k", "interpret", "mode"
     ),
+    inline=True,
 )
 def _quant_matmul_2d(
     x: jax.Array,
@@ -172,6 +173,7 @@ def _quant_matmul_2d(
     static_argnames=(
         "group_size", "block_m", "block_n", "block_k", "interpret", "mode"
     ),
+    inline=True,
 )
 def _quant_matmul_stacked_2d(
     x: jax.Array,

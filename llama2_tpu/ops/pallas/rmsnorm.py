@@ -26,7 +26,7 @@ def _kernel(x_ref, w_ref, o_ref, *, eps: float):
     o_ref[:] = (x * inv).astype(o_ref.dtype) * w_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_rows", "eps", "interpret"), inline=True)
 def _rmsnorm_2d(x, w, block_rows: int, eps: float, interpret: bool):
     R, D = x.shape
     out = pl.pallas_call(

@@ -24,7 +24,7 @@ def _kernel(h1_ref, h3_ref, o_ref):
     o_ref[:] = (h1 * jax.nn.sigmoid(h1)).astype(o_ref.dtype) * h3_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"), inline=True)
 def _swiglu_2d(h1, h3, block_rows: int, interpret: bool):
     R, D = h1.shape
     return pl.pallas_call(
