@@ -219,6 +219,74 @@ def bench_attention(iters=300):
             _report(f"attn[S{S},pos{pos}] {name}", dt, nbytes)
 
 
+def bench_attention_stacked(iters=48):
+    """The PRODUCTION decode-attention path: layer-stacked caches as scan
+    carries, batch grid, all KV heads per strided DMA, in-kernel appends —
+    at Llama-7B serving shapes (B=8, KVH=32, S=2048)."""
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops.pallas.attention import flash_decode_attention_stacked
+    from llama2_tpu.ops.pallas.attention_q8 import (
+        flash_decode_attention_q8_stacked,
+    )
+
+    rng = np.random.default_rng(0)
+    L, B, KVH, S, hs, G = 4, 8, 32, 2048, 128, 1
+    q0 = jnp.asarray(rng.standard_normal((B, KVH * G, hs)).astype(np.float32))
+    pos_list = (2040, 512)
+
+    # fp32 stacked (in-kernel single-row appends)
+    kc = jnp.asarray(rng.standard_normal((L, B, KVH, S, hs)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((L, B, KVH, S, hs)).astype(np.float32))
+    kn = jnp.zeros((B, KVH, 1, hs), jnp.float32)
+    for pos_val in pos_list:
+        pos = jnp.full((B,), pos_val, jnp.int32)
+        nbytes = 2 * B * KVH * (pos_val + 1) * hs * 4
+
+        def make_loop(n, pos=pos):
+            @jax.jit
+            def loop(q, kc, vc):
+                def body(carry, i):
+                    q, kc, vc = carry
+                    att, kc, vc = flash_decode_attention_stacked(
+                        q, kc, vc, kn, kn, i % L, pos, scale=0.088
+                    )
+                    return (q + att * 1e-12, kc, vc), ()
+                carry, _ = jax.lax.scan(body, (q, kc, vc), jnp.arange(n))
+                return carry[0]
+            return lambda: loop(q0, kc, vc)
+
+        dt = _timed(make_loop, iters)
+        _report(f"attn-stacked[f32 B{B} S{S},pos{pos_val}]", dt, nbytes)
+
+    # int8 stacked (RMW appends; per-row scales fold into scores/probs)
+    k8 = jnp.asarray(rng.integers(-100, 100, (L, B, KVH, S, hs)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-100, 100, (L, B, KVH, S, hs)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, B, KVH, S)).astype(np.float32) * 0.01)
+    vs = jnp.asarray(rng.random((L, B, KVH, S)).astype(np.float32) * 0.01)
+    k8n = jnp.zeros((B, KVH, 1, hs), jnp.int8)
+    ksn = jnp.zeros((B, KVH, 1), jnp.float32)
+    for pos_val in pos_list:
+        pos = jnp.full((B,), pos_val, jnp.int32)
+        nbytes = 2 * B * KVH * (pos_val + 1) * (hs + 4)
+
+        def make_loop(n, pos=pos):
+            @jax.jit
+            def loop(q, k8, ks, v8, vs):
+                def body(carry, i):
+                    q, k8, ks, v8, vs = carry
+                    att, k8, ks, v8, vs = flash_decode_attention_q8_stacked(
+                        q, k8, ks, v8, vs, k8n, ksn, k8n, ksn, i % L, pos,
+                        scale=0.088,
+                    )
+                    return (q + att * 1e-12, k8, ks, v8, vs), ()
+                carry, _ = jax.lax.scan(body, (q, k8, ks, v8, vs), jnp.arange(n))
+                return carry[0]
+            return lambda: loop(q0, k8, ks, v8, vs)
+
+        dt = _timed(make_loop, iters)
+        _report(f"attn-stacked[int8 B{B} S{S},pos{pos_val}]", dt, nbytes)
+
+
 def bench_prefill(iters=100):
     """Blockwise causal prefill attention vs the XLA masked path."""
     import jax, jax.numpy as jnp
@@ -283,6 +351,7 @@ ALL = {
     "swiglu": bench_swiglu,
     "quant_matmul": bench_quant_matmul,
     "attention": bench_attention,
+    "attention_stacked": bench_attention_stacked,
     "prefill": bench_prefill,
     "sample": bench_sample,
 }

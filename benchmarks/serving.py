@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--ticks-per-sync", type=int, default=1)
     ap.add_argument("--spec", type=int, default=0)
+    ap.add_argument("--kernels", default="xla", choices=("xla", "pallas"))
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -53,6 +54,7 @@ def main() -> None:
             config, params, batch_size=args.batch_size,
             page_size=min(args.page_size, config.seq_len),
             ticks_per_sync=args.ticks_per_sync,
+            backend=args.kernels,
         )
     else:
         from llama2_tpu.runtime.batch_engine import BatchEngine
@@ -61,6 +63,7 @@ def main() -> None:
             config, params, batch_size=args.batch_size,
             ticks_per_sync=args.ticks_per_sync,
             spec_window=args.spec,
+            backend=args.kernels,
         )
 
     # mixed-length prompts (tokens drawn uniformly; BOS excluded); prompt
@@ -95,7 +98,7 @@ def main() -> None:
     total_tokens = sum(len(r.tokens) for r in results)
     lat = sorted(r.total_s for r in results)
     ttft = eng.ttft_percentiles()
-    mode = ("paged" if args.paged else "dense") + f",K={args.ticks_per_sync}"
+    mode = ("paged" if args.paged else "dense") + f",K={args.ticks_per_sync},{args.kernels}"
     if args.spec:
         mode += f",spec={args.spec}"
     print(

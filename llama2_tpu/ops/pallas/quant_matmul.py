@@ -307,8 +307,11 @@ def _pick_bk(K: int, G: int, block_k: int) -> int:
         if K % bk == 0 and (bk // G) % 8 == 0:
             return bk
         bk -= G
+    # ragged only when the whole-K tile would serialize MANY group dots —
+    # for short contractions (e.g. stories15M's 768/G=12 groups) whole-K is
+    # faster than the ceil-grid's extra x padding and grid steps
     ragged = (cap // (8 * G)) * 8 * G
-    if ragged >= 8 * G and K > ragged:
+    if ragged >= 8 * G and K > ragged and K // G > 32:
         return ragged
     return K
 

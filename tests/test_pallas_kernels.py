@@ -361,8 +361,9 @@ def test_quant_matmul_ragged_k_tiling():
     )
     from llama2_tpu.quant.q8 import QuantTensor, dequantize, quantize
 
-    # G=8: bk needs (bk/8)%8==0 i.e. bk % 64 == 0; K=88 has no such divisor
-    G, K, N, L, M = 8, 88, 128, 2, 4
+    # G=8: bk needs (bk/8)%8==0 i.e. bk % 64 == 0; K=280 has no such
+    # divisor AND exceeds the 32-group threshold below which whole-K wins
+    G, K, N, L, M = 8, 280, 128, 2, 4
     assert _pick_bk(K, G, 64) == 64 and K % 64 != 0  # ragged is exercised
     rng = np.random.default_rng(0)
     w = rng.standard_normal((L, K, N)).astype(np.float32) * 0.1
