@@ -49,7 +49,13 @@ def fuse_host(params: dict) -> dict:
     out = {k: v for k, v in params.items()
            if k not in ("wq", "wk", "wv", "w1", "w3")}
     out["wqkv"] = cat(params["wq"], params["wk"], params["wv"])
-    out["w13"] = cat(params["w1"], params["w3"])
+    from llama2_tpu.models.llama import use_mlp_block
+
+    if use_mlp_block(params, "pallas"):
+        # FFN runs as the fused megakernel — w1/w3 stay separate
+        out["w1"], out["w3"] = params["w1"], params["w3"]
+    else:
+        out["w13"] = cat(params["w1"], params["w3"])
     return out
 
 

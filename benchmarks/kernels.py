@@ -85,7 +85,10 @@ def _timed(make_loop, iters, min_total=0.1, reps=4):
 
     dt = measure(iters)
     if dt * iters < min_total:
-        dt = measure(int(min_total / dt) + 1)
+        # cap the regrown rep count: a jittered (near-zero) first estimate
+        # must not explode n into an un-compilable giant loop (a concurrent
+        # TPU job once drove wall(2n)-wall(n) ~ 0 -> n ~ 1e8 -> OverflowError)
+        dt = measure(min(int(min_total / dt) + 1, 64 * iters))
     return dt
 
 
@@ -287,6 +290,61 @@ def bench_attention_stacked(iters=48):
         _report(f"attn-stacked[int8 B{B} S{S},pos{pos_val}]", dt, nbytes)
 
 
+def bench_mlp_block(iters=64):
+    """Fused FFN megakernel (rmsnorm+w1/w3+swiglu+w2+residual, one launch)
+    vs the launch-split path it replaces, at Llama-7B decode shapes."""
+    import jax, jax.numpy as jnp
+    from llama2_tpu.ops import xla as ops
+    from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
+    from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    rng = np.random.default_rng(0)
+    L, D, HD, G, B = 2, 4096, 11008, 64, 8
+
+    def qt(k, n):
+        q = rng.integers(-127, 128, (L, k, n)).astype(np.int8)
+        s = (2.7e-4 * rng.uniform(0.7, 1.3, (L, k // G, n))).astype(np.float32)
+        return QuantTensor(q=jnp.asarray(q), scale=jnp.asarray(s), group_size=G)
+
+    w1, w3, w2 = qt(D, HD), qt(D, HD), qt(HD, D)
+    w13 = QuantTensor(
+        q=jnp.concatenate([w1.q, w3.q], -1),
+        scale=jnp.concatenate([w1.scale, w3.scale], -1), group_size=G,
+    )
+    rms_w = jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.02 + 1)
+    x0 = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    nbytes = 3 * D * HD + 2 * (D // G) * HD * 4 + (HD // G) * D * 4
+
+    # weights must be jit ARGUMENTS: closing over them bakes ~135 MB of
+    # constants into the HLO, which the remote compile service 413-rejects
+    def make_fused(n):
+        @jax.jit
+        def loop(x, w1, w3, w2):
+            def body(x, i):
+                x = mlp_block_stacked(x, rms_w, w1, w3, w2, i % L, 1e-5)
+                return x * 0.5, ()  # keep activations bounded
+            return jax.lax.scan(body, x, jnp.arange(n))[0]
+        return lambda: loop(x0, w1, w3, w2)
+
+    def make_split(n):
+        @jax.jit
+        def loop(x, w13, w2):
+            def body(x, i):
+                xb = ops.rmsnorm(x, rms_w, 1e-5)
+                h13 = quant_matmul_stacked(xb, w13, i % L)
+                h = ops.swiglu(h13[:, :HD], h13[:, HD:])
+                x = x + quant_matmul_stacked(h, w2, i % L)
+                return x * 0.5, ()
+            return jax.lax.scan(body, x, jnp.arange(n))[0]
+        return lambda: loop(x0, w13, w2)
+
+    dt = _timed(make_fused, iters)
+    _report(f"mlp-block[B{B} 4096x11008] fused", dt, nbytes)
+    dt = _timed(make_split, iters)
+    _report(f"mlp-block[B{B} 4096x11008] split", dt, nbytes)
+
+
 def bench_prefill(iters=100):
     """Blockwise causal prefill attention vs the XLA masked path."""
     import jax, jax.numpy as jnp
@@ -352,6 +410,7 @@ ALL = {
     "quant_matmul": bench_quant_matmul,
     "attention": bench_attention,
     "attention_stacked": bench_attention_stacked,
+    "mlp_block": bench_mlp_block,
     "prefill": bench_prefill,
     "sample": bench_sample,
 }

@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--kernels", default="xla", choices=("xla", "pallas"))
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--model", default="flagship",
+        help="flagship (stories15M-shaped fp32) or a make_random_q8 preset "
+        "(350m/1b/7b: random INT8 at that scale — the production-shape "
+        "paged-vs-dense comparison)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -40,11 +46,19 @@ def main() -> None:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from __graft_entry__ import _flagship
-
     from llama2_tpu.config import GenerationConfig
 
-    config, params = _flagship()
+    if args.model == "flagship":
+        from __graft_entry__ import _flagship
+
+        config, params = _flagship()
+    else:
+        from benchmarks.bench7b import fuse_host
+        from llama2_tpu.config import ModelConfig
+        from llama2_tpu.tools.make_random_q8 import SHAPES, random_q8_params
+
+        config = ModelConfig(**SHAPES[args.model])
+        params = fuse_host(random_q8_params(config, seed=args.seed))
     rng = np.random.default_rng(args.seed)
 
     if args.paged:

@@ -243,17 +243,40 @@ def _layer_decode_stacked(
     else:
         k_cache, v_cache = caches
 
-    xb = ops.rmsnorm(x, layer_params["rms_att"], config.norm_eps)
-    if "wqkv" in layer_params:
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    fuse_glue = (
+        backend == "pallas"
+        and quant_idx is not None
+        and isinstance(layer_params.get("wqkv"), QuantTensor)
+        and layer_params["wqkv"].q.ndim == 3
+    )
+    if fuse_glue:
+        # rmsnorm fused into the qkv launch (quant_matmul prologue) — the
+        # decode step is launch-bound, every XLA dispatch between pallas
+        # calls is unhidden time
+        from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
         kv = KVH * hs
-        qkv = linear(xb, layer_params["wqkv"], precision, backend, quant_idx)
+        qkv = quant_matmul_stacked(
+            x, layer_params["wqkv"], quant_idx,
+            rms_w=layer_params["rms_att"], eps=config.norm_eps,
+        )
         q = qkv[..., :D].reshape(B, T, H, hs)
         k = qkv[..., D : D + kv].reshape(B, T, KVH, hs)
         v = qkv[..., D + kv :].reshape(B, T, KVH, hs)
     else:
-        q = linear(xb, layer_params["wq"], precision, backend, quant_idx).reshape(B, T, H, hs)
-        k = linear(xb, layer_params["wk"], precision, backend, quant_idx).reshape(B, T, KVH, hs)
-        v = linear(xb, layer_params["wv"], precision, backend, quant_idx).reshape(B, T, KVH, hs)
+        xb = ops.rmsnorm(x, layer_params["rms_att"], config.norm_eps)
+        if "wqkv" in layer_params:
+            kv = KVH * hs
+            qkv = linear(xb, layer_params["wqkv"], precision, backend, quant_idx)
+            q = qkv[..., :D].reshape(B, T, H, hs)
+            k = qkv[..., D : D + kv].reshape(B, T, KVH, hs)
+            v = qkv[..., D + kv :].reshape(B, T, KVH, hs)
+        else:
+            q = linear(xb, layer_params["wq"], precision, backend, quant_idx).reshape(B, T, H, hs)
+            k = linear(xb, layer_params["wk"], precision, backend, quant_idx).reshape(B, T, KVH, hs)
+            v = linear(xb, layer_params["wv"], precision, backend, quant_idx).reshape(B, T, KVH, hs)
 
     q = ops.apply_rope(q, cos, sin)
     k = ops.apply_rope(k, cos, sin)
@@ -347,19 +370,40 @@ def _layer_decode_stacked(
         )
 
     att = att[..., :hs].reshape(B, T, D)
-    x = x + linear(att, layer_params["wo"], precision, backend, quant_idx)
+    if fuse_glue and isinstance(layer_params["wo"], QuantTensor):
+        # residual add fused into the wo launch (quant_matmul epilogue)
+        from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
-    xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
-    if "w13" in layer_params:
-        HD = layer_params["w13"].shape[-1] // 2
-        h13 = linear(xb, layer_params["w13"], precision, backend, quant_idx)
-        h1, h3 = h13[..., :HD], h13[..., HD:]
+        x = quant_matmul_stacked(
+            att, layer_params["wo"], quant_idx, residual=x
+        )
     else:
-        h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
-        h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
-    x = x + linear(
-        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, quant_idx
-    )
+        x = x + linear(att, layer_params["wo"], precision, backend, quant_idx)
+
+    if quant_idx is not None and use_mlp_block(layer_params, backend):
+        # whole FFN block in one launch: rmsnorm + w1/w3 + swiglu + w2 +
+        # residual fused (ops/pallas/mlp_block.py) — activations stay in
+        # VMEM, weights stream once, 2 launches + 3 XLA ops become 1 launch
+        from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
+
+        x = mlp_block_stacked(
+            x, layer_params["rms_ffn"], layer_params["w1"],
+            layer_params["w3"], layer_params["w2"], quant_idx,
+            config.norm_eps,
+        )
+    else:
+        xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
+        if "w13" in layer_params:
+            HD = layer_params["w13"].shape[-1] // 2
+            h13 = linear(xb, layer_params["w13"], precision, backend, quant_idx)
+            h1, h3 = h13[..., :HD], h13[..., HD:]
+        else:
+            h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
+            h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
+        x = x + linear(
+            ops.swiglu(h1, h3), layer_params["w2"], precision, backend,
+            quant_idx,
+        )
     if kv_quant:
         return x, (k_cache, ks_cache, v_cache, vs_cache)
     return x, (k_cache, v_cache)
@@ -369,9 +413,36 @@ _LAYER_KEYS = ("rms_att", "wq", "wk", "wv", "wo", "rms_ffn", "w1", "w2", "w3")
 _LAYER_KEYS_FUSED = ("rms_att", "wqkv", "wo", "rms_ffn", "w13", "w2")
 
 
-def fuse_layer_params(params: dict) -> dict:
-    """Concatenate QKV and W1/W3 along out-features: wqkv (L, D, D+2*KV) and
-    w13 (L, D, 2*HD).
+def layer_keys(params: dict) -> tuple[str, ...]:
+    """The per-layer param keys actually present (QKV and W1/W3 may each be
+    fused or separate — see :func:`fuse_layer_params`)."""
+    keys = ["rms_att"]
+    keys += ["wqkv"] if "wqkv" in params else ["wq", "wk", "wv"]
+    keys += ["wo", "rms_ffn"]
+    keys += ["w13"] if "w13" in params else ["w1", "w3"]
+    keys += ["w2"]
+    return tuple(keys)
+
+
+def use_mlp_block(params: dict, backend: str) -> bool:
+    """True when the decode FFN should run as the single fused megakernel
+    (ops/pallas/mlp_block.py) instead of w13-launch + swiglu + w2-launch.
+    Requires separate layer-stacked quantized w1/w3 (the concatenated w13
+    layout has no block-aligned w3 offset) and the fast pallas backend."""
+    from llama2_tpu.ops.pallas.mlp_block import mlp_block_supported
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    return (
+        backend == "pallas"
+        and "w13" not in params
+        and isinstance(params.get("w1"), QuantTensor)
+        and mlp_block_supported(params["w1"], params["w3"], params["w2"])
+    )
+
+
+def fuse_layer_params(params: dict, backend: str = "pallas") -> dict:
+    """Concatenate QKV (and, when the fused-MLP megakernel won't take over,
+    W1/W3) along out-features: wqkv (L, D, D+2*KV), w13 (L, D, 2*HD).
 
     The kernel-launch analog of the reference's ``matmul_fused`` (one read of
     x across co-located matvecs, main.zig:530-605): at decode each
@@ -379,6 +450,10 @@ def fuse_layer_params(params: dict) -> dict:
     calls per layer become 4. Works for fp arrays and QuantTensors (same K
     and group size by construction). Done once at engine init — the param
     tree on disk / in sharding specs keeps the 9-key layout.
+
+    W1/W3 stay SEPARATE when :func:`use_mlp_block` will engage: the FFN then
+    runs as one pallas launch fusing rmsnorm + w1/w3 + swiglu + w2 +
+    residual, which needs block-aligned per-matrix streams.
     """
     import jax.numpy as _jnp
 
@@ -397,7 +472,10 @@ def fuse_layer_params(params: dict) -> dict:
     out = {k: v for k, v in params.items()
            if k not in ("wq", "wk", "wv", "w1", "w3")}
     out["wqkv"] = cat(params["wq"], params["wk"], params["wv"])
-    out["w13"] = cat(params["w1"], params["w3"])
+    if use_mlp_block(params, backend):
+        out["w1"], out["w3"] = params["w1"], params["w3"]
+    else:
+        out["w13"] = cat(params["w1"], params["w3"])
     return out
 
 
@@ -436,7 +514,7 @@ def forward(
     # Quantized weights stay layer-STACKED outside the scan: the pallas
     # kernel indexes the layer itself (scalar-prefetch index_map), avoiding
     # a materialized weight-slice copy per scan trip (ops/linear.py).
-    keys = _LAYER_KEYS_FUSED if "wqkv" in params else _LAYER_KEYS
+    keys = layer_keys(params)
     stacked = {
         k: params[k] for k in keys if isinstance(params[k], QuantTensor)
     }

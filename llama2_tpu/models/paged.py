@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from llama2_tpu.config import ModelConfig
-from llama2_tpu.models.llama import _LAYER_KEYS, _LAYER_KEYS_FUSED
+from llama2_tpu.models.llama import layer_keys
 from llama2_tpu.ops import xla as ops
 from llama2_tpu.ops.linear import linear
 
@@ -61,7 +61,7 @@ def paged_forward_step(
     positions = pos[:, None]
     cos, sin = ops.rope_angles(positions, hs_real)
     # quantized weights stay stacked; kernel indexes the layer (ops/linear.py)
-    keys = _LAYER_KEYS_FUSED if "wqkv" in params else _LAYER_KEYS
+    keys = layer_keys(params)
     stacked = {
         k: params[k] for k in keys if isinstance(params[k], QuantTensor)
     }
@@ -77,14 +77,32 @@ def paged_forward_step(
         idx, sliced = xs
         lp = {**sliced, **stacked}
         li = idx if stacked else None
-        xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
-        if "wqkv" in lp:
+        fuse_glue = (
+            backend == "pallas"
+            and li is not None
+            and isinstance(lp.get("wqkv"), QuantTensor)
+            and lp["wqkv"].q.ndim == 3
+        )
+        if fuse_glue:
+            # rmsnorm fused into the qkv launch (see llama._layer_decode_stacked)
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            kv = KVH * hs_real
+            qkv = quant_matmul_stacked(
+                x, lp["wqkv"], li, rms_w=lp["rms_att"], eps=config.norm_eps
+            )
+            q = qkv[..., :D].reshape(B, 1, H, hs_real)
+            k = qkv[..., D : D + kv].reshape(B, 1, KVH, hs_real)
+            v = qkv[..., D + kv :].reshape(B, 1, KVH, hs_real)
+        elif "wqkv" in lp:
+            xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
             kv = KVH * hs_real
             qkv = linear(xb, lp["wqkv"], precision, backend, li)
             q = qkv[..., :D].reshape(B, 1, H, hs_real)
             k = qkv[..., D : D + kv].reshape(B, 1, KVH, hs_real)
             v = qkv[..., D + kv :].reshape(B, 1, KVH, hs_real)
         else:
+            xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
             q = linear(xb, lp["wq"], precision, backend, li).reshape(B, 1, H, hs_real)
             k = linear(xb, lp["wk"], precision, backend, li).reshape(B, 1, KVH, hs_real)
             v = linear(xb, lp["wv"], precision, backend, li).reshape(B, 1, KVH, hs_real)
@@ -128,16 +146,32 @@ def paged_forward_step(
                 table, pos, scale=scale,
             )
         att = att[..., :hs_real].reshape(B, 1, config.dim)
-        x = x + linear(att, lp["wo"], precision, backend, li)
-        xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
-        if "w13" in lp:
-            HD = lp["w13"].shape[-1] // 2
-            h13 = linear(xb, lp["w13"], precision, backend, li)
-            h1, h3 = h13[..., :HD], h13[..., HD:]
+        if fuse_glue and isinstance(lp["wo"], QuantTensor):
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            x = quant_matmul_stacked(att, lp["wo"], li, residual=x)
         else:
-            h1 = linear(xb, lp["w1"], precision, backend, li)
-            h3 = linear(xb, lp["w3"], precision, backend, li)
-        x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend, li)
+            x = x + linear(att, lp["wo"], precision, backend, li)
+        from llama2_tpu.models.llama import use_mlp_block
+
+        if li is not None and use_mlp_block(lp, backend):
+            # fused FFN megakernel (see _layer_decode_stacked)
+            from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
+
+            x = mlp_block_stacked(
+                x, lp["rms_ffn"], lp["w1"], lp["w3"], lp["w2"], li,
+                config.norm_eps,
+            )
+        else:
+            xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
+            if "w13" in lp:
+                HD = lp["w13"].shape[-1] // 2
+                h13 = linear(xb, lp["w13"], precision, backend, li)
+                h1, h3 = h13[..., :HD], h13[..., HD:]
+            else:
+                h1 = linear(xb, lp["w1"], precision, backend, li)
+                h3 = linear(xb, lp["w3"], precision, backend, li)
+            x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend, li)
         return (x, k_pool, v_pool), None
 
     idxs = jnp.arange(config.n_layers, dtype=jnp.int32)

@@ -1,0 +1,286 @@
+"""Fused decode-MLP megakernel: rmsnorm + w1/w3 + swiglu + w2 + residual.
+
+One ``pallas_call`` runs the whole FFN block of a decoder layer over
+layer-stacked INT8 weights:
+
+    out = x + swiglu(rmsnorm(x) @ W1, rmsnorm(x) @ W3) @ W2
+
+The reference computes this as four separate passes (rmsnorm main.zig:398,
+matmul_fused(2,{w1,w3}) main.zig:405-408, swiglu main.zig:411-416, w2 matvec
+main.zig:418); the round-1 TPU design mirrored that as two quant-matmul
+launches plus XLA rmsnorm/swiglu/residual ops. At Llama-7B decode shapes each
+launch and each XLA fusion between launches carries a fixed dispatch cost
+(~10-40 us) that the bandwidth-bound matvecs cannot hide — measured as the
+bulk of the gap between ~97%%-of-roofline matmul kernels and a ~63%%
+end-to-end step. Here the elementwise glue rides inside the weight-streaming
+kernel: activations never return to HBM between the four stages (x, the
+h1/h3 accumulators and the swiglu product live in VMEM scratch), and the
+whole FFN block is a single launch streaming W1, W3 and W2 exactly once.
+
+Grid ``(M/bm, T, s13 + m)``: for each hidden-chunk t of ``bh`` columns, the
+first ``s13`` steps stream W1/W3 K-tiles and accumulate h1/h3 for that chunk
+(per-group bf16 MXU dots, f32-scaled partials — quant_matmul's fast mode);
+step ``s13`` applies swiglu to the finished chunk in VMEM; the remaining
+``m`` steps stream the chunk's W2 row-tiles and accumulate the output.
+rmsnorm runs once at the first step (x is one whole-row block in VMEM).
+Ragged edges (a hidden size with no legal dividing tile, e.g. Llama-7B's
+11008) use ceil grids with where-masked out-of-range scale groups, exactly
+like quant_matmul's ragged-K path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llama2_tpu.ops.pallas.common import cdiv, interpret_default, round_up
+from llama2_tpu.ops.pallas.quant_matmul import (
+    _FAST_TILE_BYTES,
+    _accum_fast,
+    _pick_bk,
+)
+from llama2_tpu.quant.q8 import QuantTensor
+
+
+def _plan(D: int, HD: int, G1: int, G2: int):
+    """Tile plan: (bk1, s13, bk2, m, T, bh). See module docstring."""
+    bk1 = _pick_bk(D, G1, 512)
+    s13 = cdiv(D, bk1)
+    bk2 = _pick_bk(HD, G2, 512)
+    n_sub = cdiv(HD, bk2)
+    # chunk width bh = m*bk2 capped so a (bk1, bh) int8 tile stays stream-
+    # sized; T chunks ceil-cover HD with minimal over-read (<= bk2 slack)
+    m_cap = max(1, _FAST_TILE_BYTES // max(bk1 * bk2, 1))
+    T = cdiv(n_sub, m_cap)
+    m = cdiv(n_sub, T)
+    bh = m * bk2
+    return bk1, s13, bk2, m, T, bh
+
+
+def mlp_block_supported(w1, w3, w2) -> bool:
+    """Compiled-mode eligibility (wrapper falls back outside these)."""
+    if not all(isinstance(w, QuantTensor) for w in (w1, w3, w2)):
+        return False
+    if not (w1.q.ndim == w3.q.ndim == w2.q.ndim == 3):
+        return False
+    L, D, HD = w1.q.shape
+    if w3.q.shape != (L, D, HD) or w2.q.shape != (L, HD, D):
+        return False
+    if w1.group_size != w3.group_size:
+        return False
+    if D % w1.group_size or HD % w2.group_size:
+        return False
+    # x block / w2 output lanes; whole-HD w13 tiles need 128-lane chunks
+    _, _, _, _, _, bh = _plan(D, HD, w1.group_size, w2.group_size)
+    return D % 128 == 0 and bh % 128 == 0
+
+
+def _kernel(
+    l_ref, x_ref, rw_ref, w1_ref, s1_ref, w3_ref, s3_ref, w2_ref, s2_ref,
+    o_ref, xn_ref, h1_ref, h3_ref, acc_ref,
+    *, eps: float, D: int, HD: int, G1: int, G2: int,
+    bk1: int, s13: int, bk2: int, m: int, T: int, bh: int,
+):
+    t = pl.program_id(1)
+    s = pl.program_id(2)
+    S = s13 + m
+    Kp1 = s13 * bk1  # xn scratch width (>= D when the K tiling is ragged)
+
+    @pl.when((t == 0) & (s == 0))
+    def _():
+        # rmsnorm over the whole row block (x block spans all of D); eps
+        # after the mean, f32 sum-of-squares (main.zig:452-454 semantics,
+        # identical to ops.xla.rmsnorm)
+        xf = x_ref[:].astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(ms + eps) * rw_ref[:].astype(jnp.float32)
+        if Kp1 == D:
+            xn_ref[:] = xn
+        else:
+            # zero the ragged tail: garbage f32 in the pad columns would
+            # poison the masked tail dot (0 * NaN = NaN)
+            col = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], Kp1), 1)
+            xn_ref[:] = jnp.where(
+                col < D, jnp.pad(xn, ((0, 0), (0, Kp1 - D))), 0.0
+            )
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s == 0)
+    def _():
+        h1_ref[:] = jnp.zeros_like(h1_ref)
+        h3_ref[:] = jnp.zeros_like(h3_ref)
+
+    @pl.when(s < s13)
+    def _():
+        # stream W1/W3 K-tiles for hidden chunk t; mask scale rows past the
+        # last real K-group (ragged D tiling) and scale columns past HD
+        # (ceil hidden coverage) — OOB int8 weights decode finite and die
+        # against the zeroed scales/xn columns
+        xk = xn_ref[:, pl.dslice(s * bk1, bk1)]
+        s1 = s1_ref[0]
+        s3 = s3_ref[0]
+        sg1 = bk1 // G1
+        if s13 * bk1 > D:
+            gid = s * sg1 + jax.lax.broadcasted_iota(jnp.int32, s1.shape, 0)
+            s1 = jnp.where(gid < D // G1, s1, 0.0)
+            s3 = jnp.where(gid < D // G1, s3, 0.0)
+        if T * bh > HD:
+            hid = t * bh + jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
+            s1 = jnp.where(hid < HD, s1, 0.0)
+            s3 = jnp.where(hid < HD, s3, 0.0)
+        h1_ref[:] = _accum_fast(xk, w1_ref[0], s1, h1_ref[:], G1)
+        h3_ref[:] = _accum_fast(xk, w3_ref[0], s3, h3_ref[:], G1)
+
+    @pl.when(s == s13)
+    def _():
+        # swiglu on the finished chunk, in place (h1 becomes the product);
+        # f32 throughout, matching ops.xla.swiglu
+        h1 = h1_ref[:]
+        h1_ref[:] = h1 * jax.nn.sigmoid(h1) * h3_ref[:]
+
+    @pl.when(s >= s13)
+    def _():
+        # stream the chunk's W2 row-tiles; mask scale groups past HD/G2
+        # (ragged tail AND the duplicate clamped block when T*m > n_sub —
+        # its h columns are exact zeros, so masked scales keep 0*NaN out)
+        hk = h1_ref[:, pl.dslice((s - s13) * bk2, bk2)]
+        s2 = s2_ref[0]
+        sg2 = bk2 // G2
+        blk = jnp.minimum(t * m + (s - s13), cdiv(HD, bk2) - 1)
+        gid = blk * sg2 + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0)
+        s2 = jnp.where(gid < HD // G2, s2, 0.0)
+        acc_ref[:] = _accum_fast(hk, w2_ref[0], s2, acc_ref[:], G2)
+
+    @pl.when((t == T - 1) & (s == S - 1))
+    def _():
+        o_ref[:] = (
+            acc_ref[:] + x_ref[:].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "group1", "group2", "bm", "interpret", "m_cap"),
+    inline=True,
+)
+def _mlp_block_2d(
+    x, rms_w, q1, s1, q3, s3, q2, s2, layer,
+    eps: float, group1: int, group2: int, bm: int, interpret: bool,
+    m_cap: int | None,
+):
+    M, D = x.shape
+    L, _, HD = q1.shape
+    bk1, s13, bk2, m, T, bh = _plan(D, HD, group1, group2)
+    if m_cap is not None:  # test hook: force chunking on small shapes
+        T = cdiv(cdiv(HD, bk2), m_cap)
+        m = cdiv(cdiv(HD, bk2), T)
+        bh = m * bk2
+    S = s13 + m
+    sg1, sg2 = bk1 // group1, bk2 // group2
+    n_sub = cdiv(HD, bk2)
+
+    def w13_idx(i, t, s, l_ref):
+        return (l_ref[0], jnp.minimum(s, s13 - 1), t)
+
+    def w2_idx(i, t, s, l_ref):
+        # during the w13 phase prefetch the chunk's first W2 tile; clamp
+        # fully-OOB trailing blocks onto the last real one (contribution is
+        # exactly zero — see kernel mask note)
+        blk = jnp.where(s < s13, t * m, t * m + (s - s13))
+        return (l_ref[0], jnp.minimum(blk, n_sub - 1), 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, eps=eps, D=D, HD=HD, G1=group1, G2=group2,
+            bk1=bk1, s13=s13, bk2=bk2, m=m, T=T, bh=bh,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cdiv(M, bm), T, S),
+            in_specs=[
+                pl.BlockSpec((bm, D), lambda i, t, s, l: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda i, t, s, l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sg1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sg1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk2, D), w2_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sg2, D), w2_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, D), lambda i, t, s, l: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bm, s13 * bk1), jnp.float32),  # xn
+                pltpu.VMEM((bm, bh), jnp.float32),  # h1 / swiglu product
+                pltpu.VMEM((bm, bh), jnp.float32),  # h3
+                pltpu.VMEM((bm, D), jnp.float32),  # out accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * D * HD * 3,
+            bytes_accessed=3 * D * HD
+            + (D // group1) * HD * 8 + (HD // group2) * D * 4,
+            transcendentals=M * HD,
+        ),
+        # the 7B tiling's double-buffered streams sit ~0.2%% over the
+        # default 16 MiB scoped-vmem budget; lift the cap to what the
+        # buffers actually need (w1+w3+w2 tiles + scales, x2 buffers, plus
+        # scratch)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.05 * 2 * (
+                (2 * bk1 * bh + bk2 * D)
+                + 4 * (2 * (bk1 // group1) * bh + (bk2 // group2) * D)
+            ) + 4 * bm * (s13 * bk1 + 2 * bh + 2 * D) + 2 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, rms_w.reshape(1, D),
+      q1, s1, q3, s3, q2, s2)
+    return out
+
+
+def mlp_block_stacked(
+    x: jax.Array,
+    rms_w: jax.Array,
+    w1: QuantTensor,
+    w3: QuantTensor,
+    w2: QuantTensor,
+    layer,
+    eps: float = 1e-5,
+    *,
+    interpret: bool | None = None,
+    m_cap: int | None = None,
+) -> jax.Array:
+    """``x + swiglu(rmsnorm(x, rms_w) @ w1[layer], ... @ w3[layer]) @ w2[layer]``.
+
+    One kernel launch for the whole FFN block; see module docstring.
+    ``x (..., D)``; weights layer-stacked 3-D QuantTensors.
+    """
+    if not mlp_block_supported(w1, w3, w2):
+        raise ValueError("mlp_block_stacked: unsupported shapes (use fallback)")
+    L, D, HD = w1.q.shape
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, D)
+    if interpret is None:
+        interpret = interpret_default()
+    bm = 8 if M <= 8 else min(round_up(M, 8), 256)
+    Mp = round_up(M, bm)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    out = _mlp_block_2d(
+        x2, rms_w, w1.q, w1.scale, w3.q, w3.scale, w2.q, w2.scale,
+        layer, float(eps), w1.group_size, w2.group_size, bm, interpret, m_cap,
+    )
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*lead, D)

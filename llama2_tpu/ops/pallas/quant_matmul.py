@@ -76,18 +76,61 @@ def _accum_fast(x, w, s, acc, group_size: int):
     return acc
 
 
-def _make_kernel(accum, stacked: bool):
+def _make_kernel(accum, stacked: bool, norm: bool = False, resid: bool = False):
     """Build the pallas kernel; ``stacked`` variants take a scalar-prefetch
-    layer index first and see weight/scale blocks with a leading unit dim."""
+    layer index first and see weight/scale blocks with a leading unit dim.
 
-    def kernel(*refs, group_size: int, k_steps: int, groups_total=None):
+    ``norm``: fuse an rmsnorm prologue — x arrives as ONE whole-K block plus
+    an rms weight vector; the normed activation is computed once per row
+    block into VMEM scratch and K-tiles are sliced from there (kills the
+    separate XLA rmsnorm dispatch before every launch-bound decode matmul).
+    ``resid``: fuse a residual add — an extra (bm, bn) input is added at the
+    emit step (the ``x + att @ wo`` pattern without a separate XLA add).
+    """
+
+    def kernel(
+        *refs, group_size: int, k_steps: int, groups_total=None,
+        block_k: int = 0, eps: float = 1e-5, k_real: int = 0,
+    ):
+        refs = list(refs)
         if stacked:
-            _, x_ref, w_ref, s_ref, o_ref, acc_ref = refs
+            refs.pop(0)
+        x_ref = refs.pop(0)
+        w_ref = refs.pop(0)
+        s_ref = refs.pop(0)
+        rw_ref = refs.pop(0) if norm else None
+        res_ref = refs.pop(0) if resid else None
+        o_ref = refs.pop(0)
+        xn_ref = refs.pop(0) if norm else None
+        acc_ref = refs.pop(0)
+        if stacked:
             w, s = w_ref[0], s_ref[0]
         else:
-            x_ref, w_ref, s_ref, o_ref, acc_ref = refs
             w, s = w_ref[:], s_ref[:]
+        j = pl.program_id(1)
         k = pl.program_id(2)
+
+        if norm:
+            @pl.when((j == 0) & (k == 0))
+            def _():
+                # eps after the mean, f32 (ops.xla.rmsnorm semantics)
+                xf = x_ref[:].astype(jnp.float32)
+                ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+                xn = xf * jax.lax.rsqrt(ms + eps) * rw_ref[:].astype(
+                    jnp.float32
+                )
+                Kp = k_steps * block_k
+                if Kp == k_real:
+                    xn_ref[:] = xn
+                else:
+                    # zero the ragged tail (garbage would NaN the masked dot)
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (xn.shape[0], Kp), 1
+                    )
+                    xn_ref[:] = jnp.where(
+                        col < k_real,
+                        jnp.pad(xn, ((0, 0), (0, Kp - k_real))), 0.0,
+                    )
 
         @pl.when(k == 0)
         def _():
@@ -101,19 +144,23 @@ def _make_kernel(accum, stacked: bool):
             sg = s.shape[0]
             gid = k * sg + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             s = jnp.where(gid < groups_total, s, 0.0)
-        acc_ref[:] = accum(x_ref[:], w, s, acc_ref[:], group_size)
+        xk = (
+            xn_ref[:, pl.dslice(k * block_k, block_k)] if norm else x_ref[:]
+        )
+        acc_ref[:] = accum(xk, w, s, acc_ref[:], group_size)
 
         @pl.when(k == k_steps - 1)
         def _():
-            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+            out = acc_ref[:]
+            if resid:
+                out = out + res_ref[:].astype(jnp.float32)
+            o_ref[:] = out.astype(o_ref.dtype)
 
     return kernel
 
 
 _kernel = _make_kernel(_accum_accurate, stacked=False)
 _kernel_fast = _make_kernel(_accum_fast, stacked=False)
-_kernel_stacked = _make_kernel(_accum_accurate, stacked=True)
-_kernel_fast_stacked = _make_kernel(_accum_fast, stacked=True)
 
 
 @functools.partial(
@@ -171,7 +218,8 @@ def _quant_matmul_2d(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "group_size", "block_m", "block_n", "block_k", "interpret", "mode"
+        "group_size", "block_m", "block_n", "block_k", "interpret", "mode",
+        "eps",
     ),
     inline=True,
 )
@@ -186,6 +234,9 @@ def _quant_matmul_stacked_2d(
     block_k: int,
     interpret: bool,
     mode: str,
+    rms_w: jax.Array | None = None,  # (1, K): fuse rmsnorm(x) prologue
+    res: jax.Array | None = None,  # (M, N): fuse +residual epilogue
+    eps: float = 1e-5,
 ) -> jax.Array:
     """Layer-indexed fused dequant-matmul over layer-STACKED weights.
 
@@ -196,46 +247,72 @@ def _quant_matmul_stacked_2d(
     whole stacked array in HBM and the layer index rides the scalar-prefetch
     channel into the BlockSpec index_map, so tiles DMA straight from the
     stacked weights with no copy.
+
+    Optional launch-count fusions (see _make_kernel): ``rms_w`` pulls the
+    rmsnorm prologue into the kernel (x then arrives whole-K, normed once
+    into scratch); ``res`` adds a residual at the emit step.
     """
     M, K = x.shape
     L, Kq, N = q3.shape
+    norm, resid = rms_w is not None, res is not None
     k_steps = cdiv(Kq, block_k)
     grid = (cdiv(M, block_m), cdiv(N, block_n), k_steps)
     sg = block_k // group_size
-    kern = _kernel_fast_stacked if mode == "fast" else _kernel_stacked
+    accum = _accum_fast if mode == "fast" else _accum_accurate
+    kern = _make_kernel(accum, stacked=True, norm=norm, resid=resid)
     groups_total = Kq // group_size if Kq % block_k else None
+
+    in_specs = [
+        pl.BlockSpec(
+            (block_m, K) if norm else (block_m, block_k),
+            (lambda i, j, k, l_ref: (i, 0))
+            if norm else (lambda i, j, k, l_ref: (i, k)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_k, block_n),
+            lambda i, j, k, l_ref: (l_ref[0], k, j),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, sg, block_n),
+            lambda i, j, k, l_ref: (l_ref[0], k, j),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [x, q3, s3]
+    if norm:
+        in_specs.append(
+            pl.BlockSpec((1, K), lambda i, j, k, l_ref: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(rms_w)
+    if resid:
+        in_specs.append(
+            pl.BlockSpec((block_m, block_n), lambda i, j, k, l_ref: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(res)
+    scratch = []
+    if norm:
+        scratch.append(pltpu.VMEM((block_m, k_steps * block_k), jnp.float32))
+    scratch.append(pltpu.VMEM((block_m, block_n), jnp.float32))
 
     out = pl.pallas_call(
         functools.partial(
             kern, group_size=group_size, k_steps=k_steps,
-            groups_total=groups_total,
+            groups_total=groups_total, block_k=block_k, eps=eps, k_real=K,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (block_m, block_k),
-                    lambda i, j, k, l_ref: (i, k),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, block_k, block_n),
-                    lambda i, j, k, l_ref: (l_ref[0], k, j),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, sg, block_n),
-                    lambda i, j, k, l_ref: (l_ref[0], k, j),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (block_m, block_n),
                 lambda i, j, k, l_ref: (i, j),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -245,7 +322,7 @@ def _quant_matmul_stacked_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, q3, s3)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     return out
 
 
@@ -259,8 +336,17 @@ def quant_matmul_stacked(
     block_k: int = 512,
     interpret: bool | None = None,
     mode: str = "fast",
+    rms_w: jax.Array | None = None,
+    eps: float = 1e-5,
+    residual: jax.Array | None = None,
 ) -> jax.Array:
-    """``x (..., K) @ w[layer]`` with no weight-slice copy (see the 2d fn)."""
+    """``x (..., K) @ w[layer]`` with no weight-slice copy (see the 2d fn).
+
+    ``rms_w``: compute ``rmsnorm(x, rms_w, eps) @ w[layer]`` with the norm
+    fused into the kernel (one launch for the decode rmsnorm+matmul pair);
+    falls back to an XLA-side norm when K isn't 128-lane aligned.
+    ``residual (..., N)``: fused ``+ residual`` at the emit step.
+    """
     if w.q.ndim != 3:
         raise ValueError("quant_matmul_stacked expects a layer-stacked (3D) QuantTensor")
     if mode not in ("fast", "accurate"):
@@ -275,16 +361,32 @@ def quant_matmul_stacked(
     if interpret is None:
         interpret = interpret_default()
 
+    if rms_w is not None and K % 128 != 0:
+        # whole-K x block needs 128-aligned lanes; norm outside instead
+        from llama2_tpu.ops import xla as _ops
+
+        x2 = _ops.rmsnorm(x2, rms_w, eps)
+        rms_w = None
+
     bm = block_m or (8 if M <= 8 else min(round_up(M, 8), 256))
     bk = _pick_bk(K, G, block_k)
     bn = _pick_bn(N, bk, block_n)
 
+    res2 = None if residual is None else residual.reshape(M, N)
     Mp = round_up(M, bm)
     Kp = round_up(K, bk)  # ragged K tile: zero-pad x so OOB partials vanish
-    if Mp != M or Kp != K:
+    if rms_w is not None:
+        # the kernel's norm scratch handles the ragged tail; pad rows only
+        if Mp != M:
+            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    elif Mp != M or Kp != K:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
+    if res2 is not None and Mp != M:
+        res2 = jnp.pad(res2, ((0, Mp - M), (0, 0)))
     out = _quant_matmul_stacked_2d(
-        x2, w.q, w.scale, layer, G, bm, bn, bk, interpret, mode
+        x2, w.q, w.scale, layer, G, bm, bn, bk, interpret, mode,
+        rms_w=None if rms_w is None else rms_w.reshape(1, K),
+        res=res2, eps=float(eps),
     )
     if Mp != M:
         out = out[:M]

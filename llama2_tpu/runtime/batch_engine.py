@@ -360,7 +360,7 @@ class BatchEngine:
         if backend.startswith("pallas") and isinstance(self.params.get("wq"), QuantTensor):
             from llama2_tpu.models.llama import fuse_layer_params
 
-            self.params = fuse_layer_params(self.params)
+            self.params = fuse_layer_params(self.params, backend)
         if mesh is not None:
             from llama2_tpu.parallel.sharding import shard_params
 

@@ -259,7 +259,7 @@ class Generator:
         if backend.startswith("pallas") and isinstance(self.params.get("wq"), QuantTensor):
             from llama2_tpu.models.llama import fuse_layer_params
 
-            self.params = fuse_layer_params(self.params)
+            self.params = fuse_layer_params(self.params, backend)
 
     def _prefill(self, cache, tokens: np.ndarray, pos: int):
         """Run a (1, T) token segment; returns last-position logits + cache."""

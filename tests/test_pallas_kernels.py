@@ -383,3 +383,54 @@ def test_quant_matmul_ragged_k_tiling():
     got0 = quant_matmul(x, qt1, block_k=64, mode="accurate")
     np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_quant_matmul_stacked_norm_prologue_and_residual():
+    """Fused rmsnorm prologue / residual epilogue on the stacked kernel
+    (the decode path's wqkv and wo launch fusions) vs the op composition."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from llama2_tpu.ops import xla as ops
+    from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+    from llama2_tpu.quant.q8 import dequantize, quantize
+
+    rng = np.random.default_rng(11)
+    for K in (256, 2176, 280):
+        # 2176: ragged K tiling with the in-kernel norm (zeroed scratch
+        # tail); 280: K not 128-lane aligned -> wrapper falls back to an
+        # XLA-side norm but must stay numerically identical
+        G = 64 if K % 64 == 0 else 8
+        L, M, N = 2, 4, 128
+        w = rng.standard_normal((L, K, N)).astype(np.float32) * 0.05
+        qt = quantize(w, G)
+        x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+        rms_w = jnp.asarray(rng.standard_normal(K).astype(np.float32))
+        res = jnp.asarray(rng.standard_normal((M, N)).astype(np.float32))
+
+        want = np.asarray(
+            res + ops.rmsnorm(x, rms_w, 1e-5) @ dequantize(qt)[1]
+        )
+        got = np.asarray(
+            quant_matmul_stacked(
+                x, qt, 1, rms_w=rms_w, eps=1e-5, residual=res,
+                interpret=True,
+            )
+        )
+        tol = 3e-2 * max(1.0, (K / 512.0) ** 0.5)
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+        # norm-only and residual-only combinations
+        got_n = np.asarray(
+            quant_matmul_stacked(x, qt, 1, rms_w=rms_w, interpret=True)
+        )
+        np.testing.assert_allclose(
+            got_n, want - np.asarray(res), rtol=tol, atol=tol
+        )
+        got_r = np.asarray(
+            quant_matmul_stacked(
+                ops.rmsnorm(x, rms_w, 1e-5), qt, 1, residual=res,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got_r, want, rtol=tol, atol=tol)
