@@ -78,6 +78,10 @@ def main(argv=None) -> int:
     ap.add_argument("--model", default="7b")
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch-sweep", default=None,
+                    help="comma list of batch sizes; params upload ONCE and "
+                    "every size reuses the device tree (e.g. 8,16,32). One "
+                    "JSON line per size; --write records the --batch entry")
     ap.add_argument("--steps", type=int, default=128, help="tokens per request")
     ap.add_argument("--ticks", type=int, default=32, help="ticks per host sync")
     ap.add_argument("--seq-len", type=int, default=2048)
@@ -86,7 +90,6 @@ def main(argv=None) -> int:
     ap.add_argument("--write", action="store_true", help="update BENCH_7B.json")
     args = ap.parse_args(argv)
 
-    from llama2_tpu.config import GenerationConfig
     from llama2_tpu.io.cache import is_cache_dir, load_cache
     from llama2_tpu.runtime.batch_engine import BatchEngine
     from llama2_tpu.tools.make_random_q8 import build
@@ -107,14 +110,39 @@ def main(argv=None) -> int:
     print(f"[bench7b] {config}", file=sys.stderr)
     print(f"[bench7b] weight stream: {wbytes / 1e9:.2f} GB/step; uploading...",
           file=sys.stderr)
-    eng = BatchEngine(
-        config, params, batch_size=args.batch, backend="pallas",
-        kv_quant=True, ticks_per_sync=args.ticks,
-    )
-    # force the upload + a scalar fetch so load time is measured honestly
-    np.asarray(eng.params["rms_final"][:1])
-    load_s = time.perf_counter() - t0
-    print(f"[bench7b] load+upload {load_s:.1f}s", file=sys.stderr)
+
+    batches = ([int(b) for b in args.batch_sweep.split(",")]
+               if args.batch_sweep else [args.batch])
+    device_params = params  # becomes the device tree after the first engine
+    primary = None
+    for batch in batches:
+        eng = BatchEngine(
+            config, device_params, batch_size=batch, backend="pallas",
+            kv_quant=True, ticks_per_sync=args.ticks,
+        )
+        # engine leaves are jnp arrays: later sweep entries reuse them as-is
+        device_params = eng.params
+        # force the upload + a scalar fetch so load time is measured honestly
+        np.asarray(eng.params["rms_final"][:1])
+        load_s = time.perf_counter() - t0
+        print(f"[bench7b] load+upload {load_s:.1f}s (batch {batch})",
+              file=sys.stderr)
+        out = _measure(eng, config, wbytes, batch, load_s, args)
+        print(json.dumps(out))
+        if batch == args.batch or primary is None:
+            primary = out
+        del eng
+        t0 = time.perf_counter()  # later entries report re-init only
+
+    if args.write and primary is not None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "BENCH_7B.json"), "w") as f:
+            json.dump(primary, f, indent=1)
+    return 0
+
+
+def _measure(eng, config, wbytes, batch, load_s, args) -> dict:
+    from llama2_tpu.config import GenerationConfig
 
     rng = np.random.default_rng(0)
     gen = GenerationConfig(temperature=0.0, steps=args.steps, seed=0)
@@ -131,7 +159,7 @@ def main(argv=None) -> int:
     warm = GenerationConfig(
         temperature=0.0, steps=2 * args.ticks + 2, seed=0
     )
-    wq = [eng.submit(prompt(), warm) for _ in range(args.batch)]
+    wq = [eng.submit(prompt(), warm) for _ in range(batch)]
     eng.run_until_idle()
     for q in wq:
         r = q.get(timeout=3600)
@@ -144,7 +172,7 @@ def main(argv=None) -> int:
           file=sys.stderr)
 
     # ---- phase 1: serving wave (steady-state: everything compiled) ----
-    n_req = 2 * args.batch
+    n_req = 2 * batch
     t0 = time.perf_counter()
     queues = [eng.submit(prompt(), gen) for _ in range(n_req)]
     eng.run_until_idle()
@@ -159,7 +187,7 @@ def main(argv=None) -> int:
 
     # ---- phase 2: steady-state roofline (all slots active, timed syncs) ----
     big = GenerationConfig(temperature=0.0, steps=config.seq_len - args.prompt_len - 8, seed=0)
-    queues = [eng.submit(prompt(), big) for _ in range(args.batch)]
+    queues = [eng.submit(prompt(), big) for _ in range(batch)]
     eng._admit()
     assert all(s is not None for s in eng.slots), "roofline needs a full batch"
     eng._decode_tick()  # warm (already compiled in phase 1)
@@ -174,7 +202,7 @@ def main(argv=None) -> int:
     # traffic at its midpoint position
     pos_mid = float(np.mean(eng._pos)) - n_steps / 2
     kv_row = config.n_kv_heads * ((config.head_size + 127) // 128 * 128)
-    kv_bytes = args.batch * config.n_layers * pos_mid * (kv_row * 2 + 8)
+    kv_bytes = batch * config.n_layers * pos_mid * (kv_row * 2 + 8)
     roof_w = (wbytes / HBM_GBPS) / step_s
     roof_wkv = ((wbytes + kv_bytes) / HBM_GBPS) / step_s
     # drain phase-2 requests (don't leave the engine mid-flight)
@@ -193,18 +221,13 @@ def main(argv=None) -> int:
         "weight_stream_gb": round(wbytes / 1e9, 2),
         "roofline_weight_pct": round(100 * roof_w, 1),
         "roofline_weight_kv_pct": round(100 * roof_wkv, 1),
-        "batch": args.batch,
+        "batch": batch,
         "ticks_per_sync": args.ticks,
         "requests": n_req,
         "steps_per_request": args.steps,
         "load_upload_s": round(load_s, 1),
     }
-    print(json.dumps(out))
-    if args.write:
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(root, "BENCH_7B.json"), "w") as f:
-            json.dump(out, f, indent=1)
-    return 0
+    return out
 
 
 if __name__ == "__main__":

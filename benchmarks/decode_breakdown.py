@@ -1,0 +1,315 @@
+"""Stage-level breakdown of the big-model INT8 decode step.
+
+BENCH_7B measures the END-TO-END decode step; the kernel suite measures each
+kernel ALONE. This harness closes the evidence gap between them: one upload
+of the full fused INT8 tree, then the tick and each of its stages timed as
+separate K-iteration scans (sequential dependency through the carry, caches
+donated, differential (wall(2K) - wall(K)) / K so the tunnel's fetch RTT
+cancels). The residual `tick - sum(stages)` is the unhidden XLA glue /
+dispatch cost — the thing launch fusion is supposed to remove.
+
+    python benchmarks/decode_breakdown.py [--model 7b] [--batch 8] [--iters 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+HBM_GBPS = 819e9
+
+
+def _diff_timed(make_run, iters):
+    """(wall(2K) - wall(K)) / K with interleaved takes (CLAUDE.md timing
+    rule): the fetch RTT and per-call dispatch appear in both lengths and
+    cancel; tunnel drift is bounded by interleaving."""
+    run1, run2 = make_run(iters), make_run(2 * iters)
+    run1(), run2()  # compile + warm both lengths
+    best = np.inf
+    for _ in range(4):
+        t1 = time.perf_counter(); run1(); w1 = time.perf_counter() - t1
+        t2 = time.perf_counter(); run2(); w2 = time.perf_counter() - t2
+        best = min(best, (w2 - w1) / iters)
+    return max(best, 1e-9)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b")
+    ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--pos0", type=int, default=128)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from llama2_tpu.io.cache import is_cache_dir, load_cache
+    from llama2_tpu.models.llama import forward, init_cache, logits_from_hidden
+    from llama2_tpu.ops import sampling
+    from llama2_tpu.ops.pallas.attention_q8 import (
+        flash_decode_attention_q8_stacked,
+        quantize_kv_rows,
+    )
+    from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
+    from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+    from llama2_tpu.ops import xla as xops
+    from llama2_tpu.quant.q8 import QuantTensor
+    from llama2_tpu.tools.make_random_q8 import SHAPES, build, random_q8_params
+    from benchmarks.bench7b import fuse_host, stream_bytes_per_step
+
+    if args.model in ("7b",):  # big: go through the on-disk cache (mmap)
+        cache_dir = args.cache_dir or f"/tmp/llama2_tpu_bench_{args.model}_q8"
+        if not is_cache_dir(cache_dir):
+            print(f"[breakdown] building {cache_dir} ...", file=sys.stderr)
+            build(cache_dir, args.model, seq_len=2048)
+        config, params, _ = load_cache(cache_dir)
+    else:
+        from llama2_tpu.config import ModelConfig
+
+        config = ModelConfig(**SHAPES[args.model])
+        params = random_q8_params(config, seed=0)
+    params = fuse_host(params)
+    wbytes = stream_bytes_per_step(params)
+    B, K, L = args.batch, args.iters, config.n_layers
+    D, HD = config.dim, config.hidden_dim
+    KVH, hs = config.n_kv_heads, config.head_size
+    eps = config.norm_eps
+
+    print(f"[breakdown] {args.model}: upload {wbytes / 1e9:.2f} GB ...",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    params = jax.tree.map(jnp.asarray, params)
+    np.asarray(params["rms_final"][:1])  # sync
+    print(f"[breakdown] uploaded in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    lane_pad = hs % 128 != 0  # exactly like the engines (CLAUDE.md)
+    rows = []
+
+    def report(name, dt, bytes_per_step):
+        pct = 100 * (bytes_per_step / HBM_GBPS) / dt if bytes_per_step else 0
+        rows.append((name, dt, pct))
+        print(f"{name:34s} {dt * 1e3:8.3f} ms/step"
+              + (f"  {pct:5.1f}% HBM" if bytes_per_step else ""))
+
+    def qbytes(*names):
+        tot = 0
+        for n in names:
+            v = params[n]
+            if isinstance(v, QuantTensor):
+                tot += v.q.size + v.scale.size * 4
+            else:
+                tot += v.size * v.dtype.itemsize
+        return tot
+
+    # ---------- full tick (the engine's step body) ----------
+    def tick_stage():
+        cache = init_cache(config, B, kv_quant=True, lane_pad=lane_pad)
+        holder = {"c": cache}
+
+        def make(n):
+            @partial(jax.jit, static_argnames=("steps",), donate_argnums=(1,))
+            def run(p, cache, tokens, pos, *, steps):
+                def body(carry, _):
+                    tokens, pos, cache = carry
+                    hidden, cache = forward(
+                        p, cache, tokens[:, None], pos, config,
+                        jax.lax.Precision.HIGHEST, "pallas",
+                    )
+                    logits = logits_from_hidden(
+                        p, hidden[:, -1, :], jax.lax.Precision.HIGHEST,
+                        "pallas",
+                    )
+                    nxt = sampling.sample_argmax(logits) % config.vocab_size
+                    return (nxt.astype(jnp.int32), pos + 1, cache), ()
+
+                (tokens, pos, cache), _ = jax.lax.scan(
+                    body, (tokens, pos, cache), None, length=steps
+                )
+                return tokens, cache
+
+            def go():
+                toks, holder["c"] = run(
+                    params, holder["c"],
+                    jnp.full((B,), 7, jnp.int32),
+                    jnp.full((B,), args.pos0, jnp.int32), steps=n,
+                )
+                return np.asarray(toks[:1])
+
+            return go
+
+        return make
+
+    # ---------- per-stage scans (layer loop inside, K outer steps) ----------
+    def layer_loop_stage(stage_fn, carry_caches=False):
+        """K outer steps; inside each, scan layer index 0..L-1 with x carried
+        (sequential dependency). stage_fn(p, x, l, pos, cache) -> (x, cache)."""
+
+        def make_factory():
+            cache = (
+                init_cache(config, B, kv_quant=True, lane_pad=lane_pad)
+                if carry_caches else None
+            )
+            holder = {"c": cache}
+
+            def make(n):
+                donate = (1,) if carry_caches else ()
+
+                @partial(jax.jit, static_argnames=("steps",),
+                         donate_argnums=donate)
+                def run(p, cache, x, pos, *, steps):
+                    def body(carry, _):
+                        x, pos, cache = carry
+
+                        def layer(inner, l):
+                            x, cache = inner
+                            x, cache = stage_fn(p, x, l, pos, cache)
+                            return (x, cache), ()
+
+                        (x, cache), _ = jax.lax.scan(
+                            layer, (x, cache), jnp.arange(L)
+                        )
+                        # keep x bounded across K steps (pure timing carry)
+                        x = x / jnp.maximum(
+                            jnp.max(jnp.abs(x)), jnp.float32(1.0)
+                        )
+                        return (x, pos + 1, cache), ()
+
+                    (x, pos, cache), _ = jax.lax.scan(
+                        body, (x, pos, cache), None, length=steps
+                    )
+                    return x, cache
+
+                def go():
+                    x0 = jnp.ones((B, D), jnp.float32) * 0.01
+                    x, holder["c"] = run(
+                        params, holder["c"], x0,
+                        jnp.full((B,), args.pos0, jnp.int32), steps=n,
+                    )
+                    return np.asarray(x[:1, :1])
+
+                return go
+
+            return make
+
+        return make_factory()
+
+    def _sl(v, l):  # fp layer stacks ride the model's scan sliced; match that
+        return jax.lax.dynamic_index_in_dim(v, l, 0, keepdims=False)
+
+    # qkv launch (rmsnorm prologue fused, like the model path)
+    def qkv_fn(p, x, l, pos, cache):
+        out = quant_matmul_stacked(
+            x[:, None, :], p["wqkv"], l, rms_w=_sl(p["rms_att"], l), eps=eps
+        )
+        return out[..., 0, :D] + x, cache
+
+    # attention + in-kernel KV append (quantize_kv_rows included: the model
+    # path runs it between the qkv and attention launches)
+    def attn_fn(p, x, l, pos, cache):
+        hs_c = cache["k"].shape[-1]  # lane-padded head size, like the model
+        q = x.reshape(B, config.n_heads, hs)
+        kv = x[:, : KVH * hs].reshape(B, KVH, 1, hs)
+        if hs_c != hs:
+            q = jnp.pad(q, [(0, 0), (0, 0), (0, hs_c - hs)])
+            kv = jnp.pad(kv, [(0, 0), (0, 0), (0, 0), (0, hs_c - hs)])
+        k8, ks = quantize_kv_rows(kv)
+        v8, vs = quantize_kv_rows(kv)
+        att, k, ksc, v, vsc = flash_decode_attention_q8_stacked(
+            q, cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
+            k8, ks, v8, vs, l, pos, scale=1.0 / hs**0.5,
+        )
+        cache = {"k": k, "k_scale": ksc, "v": v, "v_scale": vsc}
+        return att[..., :hs].reshape(B, -1)[:, :D], cache
+
+    # wo launch (residual epilogue fused)
+    def wo_fn(p, x, l, pos, cache):
+        out = quant_matmul_stacked(x[:, None, :], p["wo"], l, residual=x[:, None, :])
+        return out[:, 0], cache
+
+    # FFN megakernel (one launch)
+    def ffn_fn(p, x, l, pos, cache):
+        return (
+            mlp_block_stacked(
+                x[:, None, :], _sl(p["rms_ffn"], l), p["w1"], p["w3"],
+                p["w2"], l, eps,
+            )[:, 0],
+            cache,
+        )
+
+    # FFN split path (same uploaded weights: separate w1/w3/w2 launches +
+    # XLA rmsnorm/swiglu/residual — the round-1 formulation, one extra
+    # launch vs the historical w13-cat since w1/w3 stream separately here)
+    def ffn_split_fn(p, x, l, pos, cache):
+        xb = xops.rmsnorm(x[:, None, :], _sl(p["rms_ffn"], l), eps)
+        h1 = quant_matmul_stacked(xb, p["w1"], l)
+        h3 = quant_matmul_stacked(xb, p["w3"], l)
+        h = xops.swiglu(h1, h3)
+        return x + quant_matmul_stacked(h, p["w2"], l)[:, 0], cache
+
+    # classifier + argmax (once per step, not per layer)
+    def logits_stage():
+        def make(n):
+            @partial(jax.jit, static_argnames=("steps",))
+            def run(p, x, *, steps):
+                def body(x, _):
+                    h = xops.rmsnorm(x, p["rms_final"], eps)
+                    logits = logits_from_hidden(
+                        p, h, jax.lax.Precision.HIGHEST, "pallas"
+                    )
+                    nxt = sampling.sample_argmax(logits)
+                    x = x * (1.0 + 1e-7 * nxt[:, None].astype(jnp.float32))
+                    return x, ()
+
+                x, _ = jax.lax.scan(body, x, None, length=steps)
+                return x
+
+            def go():
+                return np.asarray(
+                    run(params, jnp.ones((B, D), jnp.float32), steps=n)[:1, :1]
+                )
+
+            return go
+
+        return make
+
+    print(f"== decode step breakdown: {args.model} B={B} K={K} "
+          f"pos0={args.pos0} ==")
+    w_qkv, w_o = qbytes("wqkv"), qbytes("wo")
+    w_ffn = qbytes("w1", "w3", "w2")
+    w_cls = qbytes("wcls")
+    kv_read = B * L * args.pos0 * (KVH * ((hs + 127) // 128 * 128) * 2 + 8)
+
+    dt_tick = _diff_timed(tick_stage(), K)
+    report("tick (forward+logits+argmax)", dt_tick, wbytes + kv_read)
+    dt_qkv = _diff_timed(layer_loop_stage(qkv_fn), K)
+    report("  qkv launch (norm fused)", dt_qkv, w_qkv)
+    dt_attn = _diff_timed(layer_loop_stage(attn_fn, carry_caches=True), K)
+    report("  attention+append (int8 KV)", dt_attn, kv_read)
+    dt_wo = _diff_timed(layer_loop_stage(wo_fn), K)
+    report("  wo launch (residual fused)", dt_wo, w_o)
+    dt_ffn = _diff_timed(layer_loop_stage(ffn_fn), K)
+    report("  FFN megakernel", dt_ffn, w_ffn)
+    dt_split = _diff_timed(layer_loop_stage(ffn_split_fn), K)
+    report("  FFN split (w1,w3,w2 launches)", dt_split, w_ffn)
+    dt_log = _diff_timed(logits_stage(), K)
+    report("  logits+argmax", dt_log, w_cls)
+
+    glue = dt_tick - (dt_qkv + dt_attn + dt_wo + dt_ffn + dt_log)
+    print(f"{'  residual (XLA glue/dispatch)':34s} {glue * 1e3:8.3f} ms/step")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,6 +36,10 @@ SHAPES = {
                n_kv_heads=4, vocab_size=32000, seq_len=2048),  # TinyLlama-1.1B
     "350m": dict(dim=1024, hidden_dim=2816, n_layers=16, n_heads=16,
                  n_kv_heads=16, vocab_size=32000, seq_len=1024),
+    # CPU-interpret-sized shape for validating benchmark harnesses off-TPU
+    # (hs=64 exercises the lane-pad path)
+    "tiny": dict(dim=256, hidden_dim=512, n_layers=2, n_heads=4,
+                 n_kv_heads=2, vocab_size=512, seq_len=256),
 }
 
 
