@@ -14,11 +14,14 @@ Endpoints:
 Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8] \
           [--paged [--page-size 256] [--pages N]] [--ticks-per-sync K]
-          [--kv-cache f32|int8] [--spec N]
+          [--kv-cache f32|int8] [--spec N] [--kernels xla|pallas]
+          [--mesh DPxTP]
 
 ``--paged`` switches the KV cache to the paged layout
 (runtime/paged_engine.py): memory scales with tokens in flight instead of
-batch_size * seq_len.
+batch_size * seq_len. ``--mesh 2x4`` serves over a (data, model) device
+mesh: params tensor-shard over ``model``, slots over ``data``, every tick
+one GSPMD program (parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -161,6 +164,8 @@ def main(argv=None):
     ticks = 1
     kv_cache = "f32"
     spec = 0
+    kernels = "xla"
+    mesh_spec = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -202,6 +207,15 @@ def main(argv=None):
             if spec < 0 or spec == 1 or spec > 64:
                 print("--spec must be 0 or 2..64", file=sys.stderr)
                 return 1
+        elif a == "--kernels":
+            i += 1
+            kernels = argv[i]
+            if kernels not in ("xla", "pallas"):
+                print("--kernels must be xla or pallas", file=sys.stderr)
+                return 1
+        elif a == "--mesh":
+            i += 1
+            mesh_spec = argv[i]
         elif a == "--page-size":
             i += 1
             page_size = int(argv[i])
@@ -218,6 +232,22 @@ def main(argv=None):
         print(__doc__, file=sys.stderr)
         return 1
 
+    if paged and (kv_cache != "f32" or spec):
+        print(
+            "--paged does not support --kv-cache int8 / --spec yet",
+            file=sys.stderr,
+        )
+        return 1
+    if paged and mesh_spec is not None:
+        print("--paged does not support --mesh yet", file=sys.stderr)
+        return 1
+    if mesh_spec is not None:
+        try:
+            _dp, _tp = (int(v) for v in mesh_spec.lower().split("x"))
+        except ValueError:
+            print("--mesh must look like 2x4 (data x model)", file=sys.stderr)
+            return 1
+
     import jax
 
     if platform:
@@ -228,6 +258,16 @@ def main(argv=None):
     from llama2_tpu.runtime.batch_engine import BatchEngine
     from llama2_tpu.tokenizer.fast import load_tokenizer
 
+    mesh = None
+    if mesh_spec is not None:
+        from llama2_tpu.parallel.mesh import make_mesh
+
+        try:
+            mesh = make_mesh(_dp, _tp)
+        except ValueError as e:
+            print(f"--mesh {mesh_spec}: {e}", file=sys.stderr)
+            return 1
+
     config, params, _ = load_any(path)
     tokenizer = load_tokenizer(tok_path, config.vocab_size)
     if quant == "int8":
@@ -235,12 +275,6 @@ def main(argv=None):
 
         params = quantize_params(params)
     if paged:
-        if kv_cache != "f32" or spec:
-            print(
-                "--paged does not support --kv-cache int8 / --spec yet",
-                file=sys.stderr,
-            )
-            return 1
         from llama2_tpu.runtime.paged_engine import PagedBatchEngine
 
         engine = PagedBatchEngine(
@@ -251,6 +285,7 @@ def main(argv=None):
             n_pages=n_pages,
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
             ticks_per_sync=ticks,
+            backend=kernels,
         )
     else:
         engine = BatchEngine(
@@ -261,6 +296,8 @@ def main(argv=None):
             ticks_per_sync=ticks,
             kv_quant=kv_cache == "int8",
             spec_window=spec,
+            backend=kernels,
+            mesh=mesh,
         )
     serve(engine, tokenizer, host, port)
     return 0

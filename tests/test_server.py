@@ -126,3 +126,46 @@ def test_404(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_mesh_served_tokens_match_single_device(tiny_checkpoint, server):
+    """--mesh serving: the same engine class over a (data, model) mesh must
+    stream identical tokens through the HTTP surface (north star: continuous
+    batching across hosts; parallel/sharding.py)."""
+    from llama2_tpu.parallel.mesh import make_mesh
+
+    path, config, _ = tiny_checkpoint
+    _, params, _ = load_checkpoint(path)
+    engine = BatchEngine(config, params, batch_size=2, mesh=make_mesh(2, 4))
+    engine.start()
+
+    class MeshHandler(_Handler):
+        pass
+
+    MeshHandler.engine = engine
+    MeshHandler.tokenizer = _Handler.tokenizer
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), MeshHandler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        body = {"prompt": "a", "temperature": 0.0, "steps": 8}
+        want = _post(server + "/generate", body)[1]["tokens"]
+        code, got = _post(url + "/generate", body)
+        assert code == 200, got
+        assert got["tokens"] == want
+    finally:
+        httpd.shutdown()
+        engine.stop()
+
+
+def test_mesh_flag_errors(tiny_checkpoint, capsys):
+    from llama2_tpu.runtime import server as srv
+
+    path, _, _ = tiny_checkpoint
+    assert srv.main([path, "--mesh", "banana"]) == 1
+    assert "--mesh" in capsys.readouterr().err
+    assert srv.main([path, "--paged", "--mesh", "2x4"]) == 1
+    assert "--paged" in capsys.readouterr().err
+    assert srv.main([path, "--kernels", "cuda"]) == 1
+    assert "--kernels" in capsys.readouterr().err
