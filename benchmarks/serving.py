@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--ticks-per-sync", type=int, default=1)
     ap.add_argument("--spec", type=int, default=0)
+    ap.add_argument("--kv-cache", default="f32", choices=("f32", "int8"))
     ap.add_argument("--kernels", default="xla", choices=("xla", "pallas"))
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -69,6 +70,7 @@ def main() -> None:
             page_size=min(args.page_size, config.seq_len),
             ticks_per_sync=args.ticks_per_sync,
             backend=args.kernels,
+            kv_quant=args.kv_cache == "int8",
         )
     else:
         from llama2_tpu.runtime.batch_engine import BatchEngine
@@ -78,6 +80,7 @@ def main() -> None:
             ticks_per_sync=args.ticks_per_sync,
             spec_window=args.spec,
             backend=args.kernels,
+            kv_quant=args.kv_cache == "int8",
         )
 
     # mixed-length prompts (tokens drawn uniformly; BOS excluded); prompt
@@ -113,6 +116,8 @@ def main() -> None:
     lat = sorted(r.total_s for r in results)
     ttft = eng.ttft_percentiles()
     mode = ("paged" if args.paged else "dense") + f",K={args.ticks_per_sync},{args.kernels}"
+    if args.kv_cache != "f32":
+        mode += f",kv={args.kv_cache}"
     if args.spec:
         mode += f",spec={args.spec}"
     print(

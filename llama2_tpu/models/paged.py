@@ -30,12 +30,12 @@ from llama2_tpu.ops.linear import linear
 @partial(
     jax.jit,
     static_argnames=("config", "precision", "backend", "unroll"),
-    donate_argnames=("k_pool", "v_pool"),
+    donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
     inline=True,
 )
 def paged_forward_step(
     params: dict,
-    k_pool: jax.Array,  # (L, P, KVH, page, hs)
+    k_pool: jax.Array,  # (L, P, KVH, page, hs) — int8 when quantized
     v_pool: jax.Array,
     table: jax.Array,  # (B, max_pages) int32
     tokens: jax.Array,  # (B,) int32
@@ -46,8 +46,15 @@ def paged_forward_step(
     precision=jax.lax.Precision.HIGHEST,
     backend: str = "xla",
     unroll: int = 1,
+    ks_pool: jax.Array | None = None,  # (L, P, KVH, page) f32 — int8 pools
+    vs_pool: jax.Array | None = None,
 ):
-    """One batched decode step; returns (hidden, k_pool, v_pool)."""
+    """One batched decode step.
+
+    Returns ``(hidden, k_pool, v_pool)``, or
+    ``(hidden, k_pool, ks_pool, v_pool, vs_pool)`` when scale pools are
+    given (INT8 KV: per-row symmetric quantization, the paged analog of the
+    dense engine's ``kv_quant`` — attention_q8.quantize_kv_rows)."""
     B = tokens.shape[0]
     H, KVH, hs_real = config.n_heads, config.n_kv_heads, config.head_size
     hs_c = k_pool.shape[-1]  # possibly lane-padded
@@ -67,13 +74,19 @@ def paged_forward_step(
     }
     layer_stack = {k: params[k] for k in keys if k not in stacked}
 
+    kv_quant = ks_pool is not None
+
     def body(carry, xs):
         # pools ride the CARRY un-sliced (the xs/ys form cost a full pool
         # read + rebuild per decode step — the round-1 paged engine ran at
         # HALF the dense engine's throughput for exactly this reason); the
         # stacked kernel indexes the layer via scalar prefetch and appends
         # the step's rows itself
-        x, k_pool, v_pool = carry
+        if kv_quant:
+            x, k_pool, ks_pool, v_pool, vs_pool = carry
+        else:
+            x, k_pool, v_pool = carry
+            ks_pool = vs_pool = None
         idx, sliced = xs
         lp = {**sliced, **stacked}
         li = idx if stacked else None
@@ -115,7 +128,60 @@ def paged_forward_step(
         v_bh = v.transpose(0, 2, 1, 3)
 
         scale = 1.0 / (hs_real**0.5)
-        if backend.startswith("pallas"):
+        if kv_quant:
+            from llama2_tpu.ops.pallas.attention_q8 import quantize_kv_rows
+
+            k8_new, k_sc = quantize_kv_rows(k_bh)  # (B,KVH,1,hs), (B,KVH,1)
+            v8_new, v_sc = quantize_kv_rows(v_bh)
+            if backend.startswith("pallas"):
+                from llama2_tpu.ops.pallas.paged_attention import (
+                    paged_decode_attention_q8_stacked,
+                )
+
+                att, k_pool, ks_pool, v_pool, vs_pool = (
+                    paged_decode_attention_q8_stacked(
+                        q, k_pool, ks_pool, v_pool, vs_pool, table,
+                        k8_new, k_sc, v8_new, v_sc,
+                        page_ids, row_ids, idx, pos, scale=scale,
+                    )
+                )
+                att = att[:, None]
+            else:
+                from llama2_tpu.ops.pallas.attention_q8 import dequantize_kv
+                from llama2_tpu.ops.pallas.paged_attention import (
+                    paged_attention_oracle,
+                )
+
+                for b in range(B):
+                    k_pool = jax.lax.dynamic_update_slice(
+                        k_pool, k8_new[b][None, None],
+                        (idx, page_ids[b], 0, row_ids[b], 0),
+                    )
+                    v_pool = jax.lax.dynamic_update_slice(
+                        v_pool, v8_new[b][None, None],
+                        (idx, page_ids[b], 0, row_ids[b], 0),
+                    )
+                    ks_pool = jax.lax.dynamic_update_slice(
+                        ks_pool, k_sc[b][None, None],
+                        (idx, page_ids[b], 0, row_ids[b]),
+                    )
+                    vs_pool = jax.lax.dynamic_update_slice(
+                        vs_pool, v_sc[b][None, None],
+                        (idx, page_ids[b], 0, row_ids[b]),
+                    )
+                att = paged_attention_oracle(
+                    q,
+                    dequantize_kv(
+                        jax.lax.dynamic_index_in_dim(k_pool, idx, 0, False),
+                        jax.lax.dynamic_index_in_dim(ks_pool, idx, 0, False),
+                    ),
+                    dequantize_kv(
+                        jax.lax.dynamic_index_in_dim(v_pool, idx, 0, False),
+                        jax.lax.dynamic_index_in_dim(vs_pool, idx, 0, False),
+                    ),
+                    table, pos, scale=scale,
+                )
+        elif backend.startswith("pallas"):
             from llama2_tpu.ops.pallas.paged_attention import (
                 paged_decode_attention_stacked,
             )
@@ -172,9 +238,18 @@ def paged_forward_step(
                 h1 = linear(xb, lp["w1"], precision, backend, li)
                 h3 = linear(xb, lp["w3"], precision, backend, li)
             x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend, li)
+        if kv_quant:
+            return (x, k_pool, ks_pool, v_pool, vs_pool), None
         return (x, k_pool, v_pool), None
 
     idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
+    if kv_quant:
+        (x, k_pool, ks_pool, v_pool, vs_pool), _ = jax.lax.scan(
+            body, (x, k_pool, ks_pool, v_pool, vs_pool),
+            (idxs, layer_stack), unroll=unroll,
+        )
+        x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+        return x, k_pool, ks_pool, v_pool, vs_pool
     (x, k_pool, v_pool), _ = jax.lax.scan(
         body, (x, k_pool, v_pool), (idxs, layer_stack), unroll=unroll
     )

@@ -395,6 +395,314 @@ def paged_decode_attention_stacked(
     return (out[:, None] if squeeze else out), k_pool, v_pool
 
 
+def _kernel_stacked_q8(
+    pos_ref,  # (B,) int32
+    table_ref,  # (B, max_pages) int32
+    wpage_ref,  # (B,) int32
+    wrow_ref,  # (B,) int32
+    layer_ref,  # (1,) int32
+    q_ref,  # (1, KVH, G, hs) VMEM
+    k_hbm_in,  # (L, P, KVH, page, hs) int8 — aliased with k_out
+    ks_hbm_in,  # (L, P, KVH, page) f32 — aliased with ks_out
+    v_hbm_in,
+    vs_hbm_in,
+    knew_ref,  # (1, KVH, 8, hs) int8 VMEM — row 0 is this step's K row
+    ksnew_ref,  # (1, KVH, 1) f32
+    vnew_ref,
+    vsnew_ref,
+    o_ref,  # (1, KVH, G, hs) VMEM
+    k_out,  # aliased pools
+    ks_out,
+    v_out,
+    vs_out,
+    k_buf,  # (2, KVH, page, hs) int8 scratch
+    ks_buf,  # (2, KVH, page) f32
+    v_buf,
+    vs_buf,
+    kwin,  # (KVH, 8, hs) int8 — append RMW window
+    vwin,
+    kswin,  # (KVH, 128) f32
+    vswin,
+    sems,  # (2, 6)
+    *,
+    page: int,
+    scale: float,
+):
+    """INT8 paged decode attention with in-kernel row+scale appends.
+
+    The paged counterpart of attention_q8._kernel_stacked: pools are int8
+    with per-row scales (4x the tokens per HBM byte — the paged pool IS the
+    memory-capacity story, so quantizing it compounds), appends go through
+    the same aligned read-modify-write windows (single-row int8 DMAs are
+    illegal: sublane slices must be 8-aligned multiples of 8; a lone f32
+    scale sits mid-lane-tile) addressed at (write_page, write_row), and the
+    block loop chases the page table with per-page scale folding:
+    ``s = (q·k8) * k_scale``, ``out += (p * v_scale)·v8`` — int8→bf16 is
+    exact, both contractions stay on the MXU.
+    """
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    pos = pos_ref[b]
+    n_pages = jax.lax.div(pos, page) + 1
+    wpage = wpage_ref[b]
+    wrow = wrow_ref[b]
+
+    # ---- RMW appends (aligned windows at the write coordinates) ----
+    a8 = (wrow // 8) * 8
+    off8 = wrow - a8
+    a128 = (wrow // 128) * 128
+    off128 = wrow - a128
+    reads = (
+        pltpu.make_async_copy(
+            k_out.at[layer, wpage, :, pl.ds(a8, 8), :], kwin, sems.at[0, 4]
+        ),
+        pltpu.make_async_copy(
+            v_out.at[layer, wpage, :, pl.ds(a8, 8), :], vwin, sems.at[1, 4]
+        ),
+        pltpu.make_async_copy(
+            ks_out.at[layer, wpage, :, pl.ds(a128, 128)], kswin, sems.at[0, 5]
+        ),
+        pltpu.make_async_copy(
+            vs_out.at[layer, wpage, :, pl.ds(a128, 128)], vswin, sems.at[1, 5]
+        ),
+    )
+    for r in reads:
+        r.start()
+    for r in reads:
+        r.wait()
+    KVH = kwin.shape[0]
+    hs = kwin.shape[2]
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, hs), 1)
+    kwin[:] = jnp.where(row8 == off8, knew_ref[0, :, 0:1, :], kwin[:])
+    vwin[:] = jnp.where(row8 == off8, vnew_ref[0, :, 0:1, :], vwin[:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KVH, 128), 1)
+    kswin[:] = jnp.where(lane == off128, ksnew_ref[0], kswin[:])
+    vswin[:] = jnp.where(lane == off128, vsnew_ref[0], vswin[:])
+    writes = (
+        pltpu.make_async_copy(
+            kwin, k_out.at[layer, wpage, :, pl.ds(a8, 8), :], sems.at[0, 4]
+        ),
+        pltpu.make_async_copy(
+            vwin, v_out.at[layer, wpage, :, pl.ds(a8, 8), :], sems.at[1, 4]
+        ),
+        pltpu.make_async_copy(
+            kswin, ks_out.at[layer, wpage, :, pl.ds(a128, 128)], sems.at[0, 5]
+        ),
+        pltpu.make_async_copy(
+            vswin, vs_out.at[layer, wpage, :, pl.ds(a128, 128)], sems.at[1, 5]
+        ),
+    )
+    for w in writes:
+        w.start()
+    for w in writes:
+        w.wait()
+
+    # ---- table-chasing online-softmax loop ----
+    def k_dma(slot, i):
+        return pltpu.make_async_copy(
+            k_out.at[layer, table_ref[b, i]], k_buf.at[slot], sems.at[slot, 0]
+        )
+
+    def ks_dma(slot, i):
+        return pltpu.make_async_copy(
+            ks_out.at[layer, table_ref[b, i]], ks_buf.at[slot],
+            sems.at[slot, 1],
+        )
+
+    def v_dma(slot, i):
+        return pltpu.make_async_copy(
+            v_out.at[layer, table_ref[b, i]], v_buf.at[slot], sems.at[slot, 2]
+        )
+
+    def vs_dma(slot, i):
+        return pltpu.make_async_copy(
+            vs_out.at[layer, table_ref[b, i]], vs_buf.at[slot],
+            sems.at[slot, 3],
+        )
+
+    for d in (k_dma, ks_dma, v_dma, vs_dma):
+        d(0, 0).start()
+
+    q = q_ref[0].astype(jnp.bfloat16)  # (KVH, G, hs)
+    KVH, G, hs = q.shape
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_pages)
+        def _():
+            for d in (k_dma, ks_dma, v_dma, vs_dma):
+                d(nxt, i + 1).start()
+
+        for d in (k_dma, ks_dma, v_dma, vs_dma):
+            d(slot, i).wait()
+
+        k = k_buf[slot].astype(jnp.bfloat16)  # (KVH, page, hs)
+        ks = ks_buf[slot].reshape(KVH, 1, page)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KVH, G, page)
+        s = s * (ks * scale)
+        t = i * page + jax.lax.broadcasted_iota(jnp.int32, (KVH, G, page), 2)
+        s = jnp.where(t <= pos, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)  # (KVH, G, page) f32
+        l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+        v = v_buf[slot].astype(jnp.bfloat16)
+        vs = vs_buf[slot].reshape(KVH, 1, page)
+        pv = jax.lax.dot_general(
+            (p * vs).astype(jnp.bfloat16), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((KVH, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((KVH, G, 1), jnp.float32)
+    acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"), inline=True)
+def _paged_decode_stacked_q8(
+    q, k_pool, ks_pool, v_pool, vs_pool, table,
+    k_new4, ks_new, v_new4, vs_new, wpage, wrow, layer, pos,
+    scale: float, interpret: bool,
+):
+    B, H, hs = q.shape
+    L, P, KVH, page, _ = k_pool.shape
+    G = H // KVH
+
+    def vmem_spec(shape):
+        nd = len(shape)
+
+        def imap(b, *refs, nd=nd):
+            return (b,) + (0,) * (nd - 1)
+
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # pos, table, wpage, wrow, layer
+        grid=(B,),
+        in_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec,  # k8 pool (aliased)
+            hbm_spec,  # k scale pool (aliased)
+            hbm_spec,  # v8 pool (aliased)
+            hbm_spec,  # v scale pool (aliased)
+            vmem_spec((1, KVH, 8, hs)),  # knew (row 0 real)
+            vmem_spec((1, KVH, 1)),  # ksnew
+            vmem_spec((1, KVH, 8, hs)),
+            vmem_spec((1, KVH, 1)),
+        ],
+        out_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec, hbm_spec, hbm_spec, hbm_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KVH, page, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, page), jnp.float32),
+            pltpu.VMEM((2, KVH, page, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, page), jnp.float32),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    q4 = q.reshape(B, KVH, G, hs)
+    # operands: 0=pos 1=table 2=wpage 3=wrow 4=layer 5=q 6=k8 7=ks 8=v8
+    #           9=vs 10=knew 11=ksnew 12=vnew 13=vsnew
+    out, k_pool, ks_pool, v_pool, vs_pool = pl.pallas_call(
+        functools.partial(_kernel_stacked_q8, page=page, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, G, hs), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(ks_pool.shape, ks_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(vs_pool.shape, vs_pool.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        interpret=interpret,
+    )(
+        pos, table, wpage, wrow, layer, q4, k_pool, ks_pool, v_pool, vs_pool,
+        k_new4, ks_new, v_new4, vs_new,
+    )
+    return out.reshape(B, H, hs), k_pool, ks_pool, v_pool, vs_pool
+
+
+def paged_decode_attention_q8_stacked(
+    q: jax.Array,
+    k_pool: jax.Array,  # (L, P, KVH, page, hs) int8 — updated IN PLACE
+    ks_pool: jax.Array,  # (L, P, KVH, page) f32 — updated IN PLACE
+    v_pool: jax.Array,
+    vs_pool: jax.Array,
+    table: jax.Array,  # (B, max_pages) int32
+    k_new: jax.Array,  # (B, KVH, 1, hs) int8 rows for the write coords
+    ks_new: jax.Array,  # (B, KVH, 1) f32
+    v_new: jax.Array,
+    vs_new: jax.Array,
+    write_page: jax.Array,  # (B,) int32
+    write_row: jax.Array,  # (B,) int32
+    layer,
+    pos,
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Fused append + INT8 paged decode attention over layer-stacked pools.
+
+    Returns ``(att, k_pool, ks_pool, v_pool, vs_pool)`` with all four pools
+    updated in place (treat inputs as consumed, scan-carry style).
+    ``page_size % 128 == 0`` required when compiled: the RMW scale window is
+    one whole 128-lane tile inside the page.
+    """
+    squeeze = False
+    if q.ndim == 4:
+        if q.shape[1] != 1:
+            raise ValueError("paged stacked q8 decode is single-query (T=1)")
+        q = q[:, 0]
+        squeeze = True
+    if interpret is None:
+        interpret = interpret_default()
+    hs = q.shape[-1]
+    page = k_pool.shape[3]
+    if not interpret and hs % 128 != 0:
+        raise ValueError(f"paged q8 decode requires head_size % 128 == 0 (got {hs})")
+    if page % 128 != 0:
+        # the RMW scale window is one whole 128-lane tile inside the page —
+        # interpret mode included (the window slice would run off a shorter
+        # page); engines gate on this before choosing the pallas path
+        raise ValueError(f"paged q8 decode requires page_size % 128 == 0 (got {page})")
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    B = q.shape[0]
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    k_new4 = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+    v_new4 = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+    out, k_pool, ks_pool, v_pool, vs_pool = _paged_decode_stacked_q8(
+        q, k_pool, ks_pool, v_pool, vs_pool, table,
+        k_new4, ks_new, v_new4, vs_new,
+        jnp.asarray(write_page, jnp.int32).reshape(-1),
+        jnp.asarray(write_row, jnp.int32).reshape(-1),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos, float(scale), interpret,
+    )
+    return (
+        (out[:, None] if squeeze else out), k_pool, ks_pool, v_pool, vs_pool
+    )
+
+
 def paged_attention_oracle(q, k_pool, v_pool, table, pos, scale=None):
     """jnp oracle: gather the pages into a dense cache, run masked attention."""
     from llama2_tpu.ops import xla as ops

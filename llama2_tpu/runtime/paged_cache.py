@@ -32,12 +32,18 @@ class OutOfPages(RuntimeError):
 
 @dataclasses.dataclass
 class PagePool:
-    """Device pools (one per layer stacked on dim 0) + host free list."""
+    """Device pools (one per layer stacked on dim 0) + host free list.
 
-    k: jax.Array  # (L, P, KVH, page, hs)
+    ``kv_quant`` pools hold int8 rows plus per-row f32 scales
+    (``ks``/``vs``, shape (L, P, KVH, page)) — 4x the tokens per HBM byte,
+    consumed by paged_attention.paged_decode_attention_q8_stacked."""
+
+    k: jax.Array  # (L, P, KVH, page, hs) — f32/bf16, or int8 when quantized
     v: jax.Array
     page_size: int
     free: list[int]
+    ks: jax.Array | None = None  # (L, P, KVH, page) f32 per-row scales
+    vs: jax.Array | None = None
 
     @classmethod
     def create(
@@ -47,17 +53,32 @@ class PagePool:
         page_size: int = 256,
         dtype=jnp.float32,
         lane_pad: bool = False,
+        kv_quant: bool = False,
     ) -> "PagePool":
         hs = config.head_size
         if lane_pad:
             hs = ((hs + 127) // 128) * 128
         shape = (config.n_layers, n_pages, config.n_kv_heads, page_size, hs)
+        if kv_quant:
+            sshape = shape[:-1]
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                ks=jnp.zeros(sshape, jnp.float32),
+                vs=jnp.zeros(sshape, jnp.float32),
+                page_size=page_size,
+                free=list(range(n_pages - 1, -1, -1)),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             page_size=page_size,
             free=list(range(n_pages - 1, -1, -1)),
         )
+
+    @property
+    def kv_quant(self) -> bool:
+        return self.ks is not None
 
     @property
     def n_pages(self) -> int:
@@ -88,6 +109,21 @@ def _write_rows(pool, rows, page_ids, row_ids):
 
     pool, _ = jax.lax.scan(per_row, pool, jnp.arange(rows.shape[1]))
     return pool
+
+
+@jax.jit
+def _write_scale_rows(spool, srows, page_ids, row_ids):
+    """Scatter per-row scales (L, R, KVH) into the (L, P, KVH, page) pool."""
+
+    def per_row(spool, r):
+        s = jax.lax.dynamic_index_in_dim(srows, r, 1, keepdims=False)  # (L,KVH)
+        upd = s[:, None, :, None]  # (L, 1, KVH, 1)
+        return jax.lax.dynamic_update_slice(
+            spool, upd.astype(spool.dtype), (0, page_ids[r], 0, row_ids[r])
+        ), None
+
+    spool, _ = jax.lax.scan(per_row, spool, jnp.arange(srows.shape[1]))
+    return spool
 
 
 def _bucket(T: int) -> int:

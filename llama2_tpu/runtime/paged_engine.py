@@ -43,7 +43,7 @@ from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool
 @partial(
     jax.jit,
     static_argnames=("config", "precision", "backend", "n_ticks", "stochastic"),
-    donate_argnames=("k_pool", "v_pool"),
+    donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
 )
 def _tick_paged(
     params, k_pool, v_pool, table, tokens, pos, budget,
@@ -51,6 +51,7 @@ def _tick_paged(
     temperature, top_p, use_argmax, active, key,
     *, config: ModelConfig, precision, backend: str,
     n_ticks: int = 1, stochastic: bool = True,
+    ks_pool=None, vs_pool=None,  # per-row scale pools (INT8 KV)
 ):
     """n_ticks paged decode steps per host sync (see batch_engine._tick for
     the freeze semantics — identical here, with page-table writes).
@@ -60,13 +61,22 @@ def _tick_paged(
     never attended and recycled at retire — so the write coords don't need
     per-slot branching on device.
     """
+    kv_quant = ks_pool is not None
 
     def step(carry, i):
-        tokens, pos, budget, active, k_pool, v_pool = carry
-        hidden, k_pool, v_pool = paged_forward_step(
-            params, k_pool, v_pool, table, tokens, pos,
-            page_ids[i], row_ids[i], config, precision, backend,
-        )
+        if kv_quant:
+            tokens, pos, budget, active, k_pool, ks_pool, v_pool, vs_pool = carry
+            hidden, k_pool, ks_pool, v_pool, vs_pool = paged_forward_step(
+                params, k_pool, v_pool, table, tokens, pos,
+                page_ids[i], row_ids[i], config, precision, backend,
+                ks_pool=ks_pool, vs_pool=vs_pool,
+            )
+        else:
+            tokens, pos, budget, active, k_pool, v_pool = carry
+            hidden, k_pool, v_pool = paged_forward_step(
+                params, k_pool, v_pool, table, tokens, pos,
+                page_ids[i], row_ids[i], config, precision, backend,
+            )
         logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
         nxt = _sample_batched(
             logits, temperature, top_p, use_argmax,
@@ -79,17 +89,26 @@ def _tick_paged(
         tokens = jnp.where(advance, nxt, tokens)
         # budget bounds the walk (steps <= seq_len); see batch_engine._tick
         active = advance & (budget > 0)
-        return (tokens, pos, budget, active, k_pool, v_pool), emitted
+        if kv_quant:
+            carry = (tokens, pos, budget, active, k_pool, ks_pool, v_pool, vs_pool)
+        else:
+            carry = (tokens, pos, budget, active, k_pool, v_pool)
+        return carry, emitted
 
-    (tokens, pos, budget, active, k_pool, v_pool), emitted = jax.lax.scan(
-        step, (tokens, pos, budget, active, k_pool, v_pool),
-        jnp.arange(n_ticks),
-    )
+    if kv_quant:
+        init = (tokens, pos, budget, active, k_pool, ks_pool, v_pool, vs_pool)
+    else:
+        init = (tokens, pos, budget, active, k_pool, v_pool)
+    carry, emitted = jax.lax.scan(step, init, jnp.arange(n_ticks))
+    if kv_quant:
+        tokens, pos, budget, active, k_pool, ks_pool, v_pool, vs_pool = carry
+    else:
+        tokens, pos, budget, active, k_pool, v_pool = carry
     packed = jnp.concatenate(
         [emitted, tokens[None], pos[None], active.astype(jnp.int32)[None]],
         axis=0,
     )
-    return packed, k_pool, v_pool
+    return packed, k_pool, v_pool, ks_pool, vs_pool
 
 
 @partial(
@@ -120,6 +139,34 @@ def _stage_write(
     return k_pool, v_pool
 
 
+@partial(
+    jax.jit,
+    static_argnames=("bucket",),
+    donate_argnames=("k_pool", "ks_pool", "v_pool", "vs_pool"),
+)
+def _stage_write_q8(
+    k_pool, ks_pool, v_pool, vs_pool, staging_k, staging_v,
+    page_ids, row_ids, *, bucket: int,
+):
+    """INT8 variant of :func:`_stage_write`: the fp staging plane's rows
+    quantize per (row, kv-head) on the way into the int8 pools — prefill
+    stays in fp (one dense plane), quantization happens exactly once."""
+    from llama2_tpu.ops.pallas.attention_q8 import quantize_kv_rows
+    from llama2_tpu.runtime.paged_cache import _write_rows, _write_scale_rows
+
+    def rows_of(staging):
+        r = jax.lax.slice_in_dim(staging[:, 0], 0, bucket, axis=2)
+        return r.transpose(0, 2, 1, 3)  # (L, bucket, KVH, hs)
+
+    k8, k_sc = quantize_kv_rows(rows_of(staging_k))  # (L,b,KVH,hs), (L,b,KVH)
+    v8, v_sc = quantize_kv_rows(rows_of(staging_v))
+    k_pool = _write_rows(k_pool, k8, page_ids, row_ids)
+    v_pool = _write_rows(v_pool, v8, page_ids, row_ids)
+    ks_pool = _write_scale_rows(ks_pool, k_sc, page_ids, row_ids)
+    vs_pool = _write_scale_rows(vs_pool, v_sc, page_ids, row_ids)
+    return k_pool, ks_pool, v_pool, vs_pool
+
+
 class PagedBatchEngine(BatchEngine):
     """BatchEngine with a paged KV cache (slot planes -> page tables)."""
 
@@ -135,6 +182,16 @@ class PagedBatchEngine(BatchEngine):
         **kw,
     ):
         super().__init__(config, params, batch_size=batch_size, **kw)
+        if (
+            self.kv_quant
+            and self.backend.startswith("pallas")
+            and page_size % 128 != 0
+        ):
+            # the q8 paged kernel's RMW scale window is one 128-lane tile
+            raise ValueError(
+                "paged INT8 KV with pallas kernels requires "
+                f"page_size % 128 == 0 (got {page_size})"
+            )
         self.page_size = page_size
         # default pool: half the dense layout's rows (the paging win)
         if n_pages is None:
@@ -142,7 +199,8 @@ class PagedBatchEngine(BatchEngine):
                 batch_size, (batch_size * config.seq_len) // (2 * page_size)
             )
         self.pool = PagePool.create(
-            config, n_pages, page_size, self.dtype, lane_pad=self.lane_pad
+            config, n_pages, page_size, self.dtype, lane_pad=self.lane_pad,
+            kv_quant=self.kv_quant,
         )
         # page 0 is the scratch page: inactive slots' table rows are all 0,
         # so their frozen-position decode writes land there and never corrupt
@@ -160,7 +218,7 @@ class PagedBatchEngine(BatchEngine):
     def _rebuild(self):
         self.pool = PagePool.create(
             self.config, self.pool.n_pages, self.page_size, self.dtype,
-            lane_pad=self.lane_pad,
+            lane_pad=self.lane_pad, kv_quant=self.kv_quant,
         )
         self.pool.free = [p for p in self.pool.free if p != 0]
         self._tables[:] = 0
@@ -266,11 +324,21 @@ class PagedBatchEngine(BatchEngine):
         page_idx = np.minimum(logical // self.page_size, len(pages) - 1)
         pids = np.where(real, table[page_idx], 0).astype(np.int32)
         rids = np.where(real, logical % self.page_size, 0).astype(np.int32)
-        k_pool, v_pool = _stage_write(
-            self.pool.k, self.pool.v, staging["k"], staging["v"],
-            jnp.asarray(pids), jnp.asarray(rids), bucket=bucket,
-        )
-        self.pool = _dc.replace(self.pool, k=k_pool, v=v_pool)
+        if self.kv_quant:
+            k_pool, ks_pool, v_pool, vs_pool = _stage_write_q8(
+                self.pool.k, self.pool.ks, self.pool.v, self.pool.vs,
+                staging["k"], staging["v"],
+                jnp.asarray(pids), jnp.asarray(rids), bucket=bucket,
+            )
+            self.pool = _dc.replace(
+                self.pool, k=k_pool, ks=ks_pool, v=v_pool, vs=vs_pool
+            )
+        else:
+            k_pool, v_pool = _stage_write(
+                self.pool.k, self.pool.v, staging["k"], staging["v"],
+                jnp.asarray(pids), jnp.asarray(rids), bucket=bucket,
+            )
+            self.pool = _dc.replace(self.pool, k=k_pool, v=v_pool)
 
         if resume:
             first = req.tokens[-1]  # already emitted; its KV writes next tick
@@ -367,7 +435,7 @@ class PagedBatchEngine(BatchEngine):
         ].astype(np.int32)
         row_ids = (win % self.page_size).astype(np.int32)
 
-        packed, k_pool, v_pool = _tick_paged(
+        packed, k_pool, v_pool, ks_pool, vs_pool = _tick_paged(
             self.params, self.pool.k, self.pool.v,
             jnp.asarray(self._tables), jnp.asarray(self._tokens),
             jnp.asarray(self._pos), jnp.asarray(budget),
@@ -377,8 +445,10 @@ class PagedBatchEngine(BatchEngine):
             config=self.config, precision=self.precision,
             backend=self.backend, n_ticks=K,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
+            ks_pool=self.pool.ks, vs_pool=self.pool.vs,
         )
         self.pool.k, self.pool.v = k_pool, v_pool
+        self.pool.ks, self.pool.vs = ks_pool, vs_pool
         self._replay(np.asarray(packed))  # _on_retire releases pages
 
     def _on_retire(self, slot: int) -> None:

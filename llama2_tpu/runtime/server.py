@@ -232,11 +232,8 @@ def main(argv=None):
         print(__doc__, file=sys.stderr)
         return 1
 
-    if paged and (kv_cache != "f32" or spec):
-        print(
-            "--paged does not support --kv-cache int8 / --spec yet",
-            file=sys.stderr,
-        )
+    if paged and spec:
+        print("--paged does not support --spec yet", file=sys.stderr)
         return 1
     if paged and mesh_spec is not None:
         print("--paged does not support --mesh yet", file=sys.stderr)
@@ -286,6 +283,7 @@ def main(argv=None):
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
             ticks_per_sync=ticks,
             backend=kernels,
+            kv_quant=kv_cache == "int8",
         )
     else:
         engine = BatchEngine(

@@ -139,3 +139,98 @@ def test_append_decode_rows():
         np.testing.assert_allclose(
             np.asarray(pool.k[l, pg, :, row]), np.asarray(k_new[l, b]), atol=0
         )
+
+
+def test_paged_q8_stacked_vs_dequant_oracle():
+    """INT8 paged decode attention (fused append + per-row scale folding)
+    matches the dequantize-then-attend oracle; pools get the appended rows
+    and scales at the (write_page, write_row) coordinates."""
+    from llama2_tpu.ops.pallas.attention_q8 import (
+        dequantize_kv,
+        quantize_kv_rows,
+    )
+    from llama2_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_q8_stacked,
+    )
+
+    L, P, KVH, page, hs = 2, 4, 2, 128, 32
+    B, H = 2, 4  # GQA x2
+    rng = np.random.default_rng(3)
+    kf = rng.standard_normal((L, P, KVH, page, hs)).astype(np.float32)
+    vf = rng.standard_normal((L, P, KVH, page, hs)).astype(np.float32)
+    k8, ks = quantize_kv_rows(jnp.asarray(kf))
+    v8, vs = quantize_kv_rows(jnp.asarray(vf))
+
+    tables = np.stack([rng.permutation(P)[:2] for _ in range(B)]).astype(np.int32)
+    positions = np.asarray([page + 2, 40], np.int32)  # 2 pages / 1 page deep
+    wpage = tables[np.arange(B), positions // page]
+    wrow = positions % page
+
+    q = jnp.asarray(rng.standard_normal((B, H, hs)).astype(np.float32))
+    knew = rng.standard_normal((B, KVH, 1, hs)).astype(np.float32)
+    vnew = rng.standard_normal((B, KVH, 1, hs)).astype(np.float32)
+    k8n, ksn = quantize_kv_rows(jnp.asarray(knew))
+    v8n, vsn = quantize_kv_rows(jnp.asarray(vnew))
+
+    layer = 1
+    att, k8o, kso, v8o, vso = paged_decode_attention_q8_stacked(
+        q, k8, ks, v8, vs, jnp.asarray(tables),
+        k8n, ksn, v8n, vsn,
+        jnp.asarray(wpage), jnp.asarray(wrow), layer, jnp.asarray(positions),
+    )
+
+    # appended rows + scales landed at the write coords (layer 1 only)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(k8o[layer, wpage[b], :, wrow[b]]),
+            np.asarray(k8n[b, :, 0]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(vso[layer, wpage[b], :, wrow[b]]),
+            np.asarray(vsn[b, :, 0]),
+        )
+    np.testing.assert_array_equal(np.asarray(k8o[0]), np.asarray(k8[0]))
+
+    # attention == dequantize the POST-APPEND pools, gather, attend
+    want = paged_attention_oracle(
+        q,
+        dequantize_kv(k8o[layer], kso[layer]),
+        dequantize_kv(v8o[layer], vso[layer]),
+        jnp.asarray(tables),
+        jnp.asarray(positions),
+    )
+    np.testing.assert_allclose(
+        np.asarray(att), np.asarray(want[:, 0]), atol=3e-2
+    )
+
+
+def test_paged_q8_page_size_validation():
+    from llama2_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_q8_stacked,
+    )
+
+    L, P, KVH, page, hs = 1, 2, 1, 64, 32  # page % 128 != 0
+    z8 = jnp.zeros((L, P, KVH, page, hs), jnp.int8)
+    zs = jnp.zeros((L, P, KVH, page), jnp.float32)
+    with pytest.raises(ValueError, match="page_size"):
+        paged_decode_attention_q8_stacked(
+            jnp.zeros((1, 1, hs)), z8, zs, z8, zs,
+            jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, KVH, 1, hs), jnp.int8),
+            jnp.zeros((1, KVH, 1), jnp.float32),
+            jnp.zeros((1, KVH, 1, hs), jnp.int8),
+            jnp.zeros((1, KVH, 1), jnp.float32),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            0, jnp.zeros((1,), jnp.int32),
+        )
+
+
+def test_pagepool_q8_memory_shapes():
+    """INT8 pools hold 4x the tokens per byte (+ per-row scale sidecar)."""
+    config = tiny_config()
+    fp = PagePool.create(config, n_pages=4, page_size=8)
+    q8 = PagePool.create(config, n_pages=4, page_size=8, kv_quant=True)
+    assert q8.kv_quant and not fp.kv_quant
+    assert q8.k.dtype == jnp.int8
+    assert q8.ks.shape == q8.k.shape[:-1]
+    assert q8.k.nbytes * 4 == fp.k.nbytes

@@ -212,3 +212,56 @@ def test_fail_all_reaches_requeued_requests(setup):
         eng._fail_all(boom)
         assert req.result_q.get(timeout=5) is boom
         assert not eng._requeue
+
+
+def test_paged_q8_engine_tracks_dense_q8(setup):
+    """Paged INT8 KV serving vs the dense engine's INT8 KV cache: same
+    per-row quantization (attention_q8.quantize_kv_rows) on both layouts, so
+    the streams should agree near-totally (quantized decode paths may flip
+    genuine near-ties; the dense engine quantizes prefill rows chunk-by-chunk
+    while the paged engine quantizes once at stage time)."""
+    from llama2_tpu.runtime.batch_engine import BatchEngine
+
+    config, params, ref = setup
+    prompts = [[5, 17], [], [320, 9, 44], [7]]
+    gen = GenerationConfig(temperature=0.0, steps=20)
+
+    dense = BatchEngine(config, params, batch_size=2, kv_quant=True)
+    dq = [dense.submit(p, gen) for p in prompts]
+    dense.run_until_idle()
+    want = [q.get(timeout=60).tokens for q in dq]
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=8, n_pages=24, kv_quant=True
+    )
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    got = [q.get(timeout=60).tokens for q in queues]
+
+    agree = tot = 0
+    for w, g in zip(want, got):
+        tot += max(len(w), len(g))
+        agree += sum(a == b for a, b in zip(w, g))
+    assert agree / max(tot, 1) >= 0.9, (want, got)
+
+
+def test_paged_q8_preemption_completes(setup):
+    """Memory pressure on the INT8 pools: preempt-and-recompute still
+    completes every request and preserves each emitted prefix (recompute
+    re-quantizes the replayed prefix, so post-resume continuations may
+    legitimately differ from an unpreempted run — the vLLM recompute
+    semantics under a lossy cache)."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=30)
+    prompts = [[4, 8], [15, 16]]
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=4, n_pages=10, kv_quant=True
+    )
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle(max_ticks=4000)
+    results = [q.get(timeout=60) for q in queues]
+    for p, got in zip(prompts, results):
+        assert not isinstance(got, Exception), got
+        assert got.tokens[: len(p)] == p
+        assert len(got.tokens) <= 30
+    assert eng.metrics["requests"] == len(prompts)
