@@ -106,6 +106,30 @@ def shard_cache(cache: dict, mesh: Mesh) -> dict:
     }
 
 
+def pool_specs(shapes: dict[str, tuple[int, ...]], mesh: Mesh) -> dict[str, P]:
+    """Paged KV pool specs: (L, P, KVH, page, hs) pools shard kv-heads on
+    ``model`` (head_size picks up extra ways, like the dense cache); the page
+    axis is REPLICATED across ``data`` — pages are a shared allocator pool,
+    any slot may hold any page, so there is no per-slot dim to shard. Scale
+    pools (L, P, KVH, page) shard kv-heads only."""
+    return {k: _spec(s, mesh, model_prefs=(2, 4)) for k, s in shapes.items()}
+
+
+def shard_pool(pool, mesh: Mesh):
+    """device_put a runtime/paged_cache.PagePool's device arrays."""
+    import dataclasses
+
+    arrays = {"k": pool.k, "v": pool.v}
+    if pool.ks is not None:
+        arrays.update(ks=pool.ks, vs=pool.vs)
+    specs = pool_specs({k: v.shape for k, v in arrays.items()}, mesh)
+    placed = {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in arrays.items()
+    }
+    return dataclasses.replace(pool, **placed)
+
+
 def replicate(tree, mesh: Mesh):
     s = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)

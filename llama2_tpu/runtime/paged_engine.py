@@ -198,10 +198,10 @@ class PagedBatchEngine(BatchEngine):
             n_pages = max(
                 batch_size, (batch_size * config.seq_len) // (2 * page_size)
             )
-        self.pool = PagePool.create(
+        self.pool = self._shard(PagePool.create(
             config, n_pages, page_size, self.dtype, lane_pad=self.lane_pad,
             kv_quant=self.kv_quant,
-        )
+        ))
         # page 0 is the scratch page: inactive slots' table rows are all 0,
         # so their frozen-position decode writes land there and never corrupt
         # a live request's pages (the paged analog of the dense engine's
@@ -211,21 +211,39 @@ class PagedBatchEngine(BatchEngine):
         self._tables = np.zeros((batch_size, self.max_pages), np.int32)
         self._slot_pages: list[list[int]] = [[] for _ in range(batch_size)]
         # one dense staging plane for prefill (a single request's worst case)
-        self._staging = init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
+        self._staging = self._shard_staging(
+            init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
+        )
 
     # ---- overrides ----
 
+    def _shard(self, pool):
+        """Shard the page pools over the engine's mesh (kv-heads on model;
+        the page axis replicates — see parallel.sharding.pool_specs)."""
+        if self.mesh is None:
+            return pool
+        from llama2_tpu.parallel.sharding import shard_pool
+
+        return shard_pool(pool, self.mesh)
+
     def _rebuild(self):
-        self.pool = PagePool.create(
+        self.pool = self._shard(PagePool.create(
             self.config, self.pool.n_pages, self.page_size, self.dtype,
             lane_pad=self.lane_pad, kv_quant=self.kv_quant,
-        )
+        ))
         self.pool.free = [p for p in self.pool.free if p != 0]
         self._tables[:] = 0
         self._slot_pages = [[] for _ in range(self.batch_size)]
-        self._staging = init_cache(
-            self.config, 1, self.dtype, lane_pad=self.lane_pad
+        self._staging = self._shard_staging(
+            init_cache(self.config, 1, self.dtype, lane_pad=self.lane_pad)
         )
+
+    def _shard_staging(self, staging):
+        if self.mesh is None:
+            return staging
+        from llama2_tpu.parallel.sharding import shard_cache
+
+        return shard_cache(staging, self.mesh)
 
     def _fail_all(self, err: Exception):
         for slot, req in enumerate(self.slots):

@@ -235,9 +235,6 @@ def main(argv=None):
     if paged and spec:
         print("--paged does not support --spec yet", file=sys.stderr)
         return 1
-    if paged and mesh_spec is not None:
-        print("--paged does not support --mesh yet", file=sys.stderr)
-        return 1
     if mesh_spec is not None:
         try:
             _dp, _tp = (int(v) for v in mesh_spec.lower().split("x"))
@@ -284,6 +281,7 @@ def main(argv=None):
             ticks_per_sync=ticks,
             backend=kernels,
             kv_quant=kv_cache == "int8",
+            mesh=mesh,
         )
     else:
         engine = BatchEngine(

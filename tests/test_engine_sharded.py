@@ -75,3 +75,52 @@ def test_sharded_engine_params_actually_sharded(model):
     # KV cache: batch over 'data', kv-heads over 'model'
     css = eng.cache["k"].sharding.shard_shape(eng.cache["k"].shape)
     assert css[1] == 4 // 2 and css[2] == config.n_kv_heads // 4
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 4), (8, 1)])
+def test_sharded_paged_engine_token_identical(model, dp, tp):
+    """Paged continuous batching over the mesh: pools shard kv-heads on
+    ``model`` (the page axis is a shared allocator pool and replicates —
+    parallel.sharding.pool_specs); streams must match the single-device
+    paged engine."""
+    from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+    config, params = model
+    gen = GenerationConfig(temperature=0.0, steps=16)
+    want = _serve(
+        PagedBatchEngine(config, params, batch_size=4, page_size=8, n_pages=32),
+        gen,
+    )
+    mesh = make_mesh(dp, tp)
+    got = _serve(
+        PagedBatchEngine(
+            config, params, batch_size=4, page_size=8, n_pages=32, mesh=mesh
+        ),
+        gen,
+    )
+    assert got == want
+
+
+def test_sharded_paged_engine_q8_pools(model):
+    """INT8 pools + mesh: scale pools shard alongside the int8 pages."""
+    from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+    config, params = model
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    want = _serve(
+        PagedBatchEngine(
+            config, params, batch_size=4, page_size=8, n_pages=32,
+            kv_quant=True,
+        ),
+        gen,
+    )
+    mesh = make_mesh(2, 4)
+    eng = PagedBatchEngine(
+        config, params, batch_size=4, page_size=8, n_pages=32,
+        kv_quant=True, mesh=mesh,
+    )
+    ss = eng.pool.k.sharding.shard_shape(eng.pool.k.shape)
+    assert ss[2] == config.n_kv_heads // 4  # kv-heads sharded on model
+    assert ss[1] == eng.pool.n_pages  # page axis replicated
+    got = _serve(eng, gen)
+    assert got == want
