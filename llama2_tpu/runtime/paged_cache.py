@@ -96,6 +96,82 @@ class PagePool:
         return max(1, -(-n_tokens // self.page_size))
 
 
+class PrefixCache:
+    """Host-side registry of FULL KV pages keyed by their causal token
+    prefix (vLLM-style automatic prefix caching).
+
+    A page covering positions [j*ps, (j+1)*ps) of a teacher-forced stream is
+    a pure function of the first (j+1)*ps fed tokens, so that token prefix
+    (as bytes) is the key. Only full pages are shared — a partial tail page
+    is private to its request, and decode writes always land at positions
+    >= the prompt length, so shared pages are never written again.
+
+    Refcounts count the slots currently holding a page. At zero the page
+    stays CACHED (not freed) and joins an LRU of evictable pages; the
+    engine's allocator evicts from that LRU back to the free list only
+    under memory pressure — the pool itself is the cache budget.
+    """
+
+    def __init__(self):
+        self.key2page: dict[bytes, int] = {}
+        self.page2key: dict[int, bytes] = {}
+        self.refs: dict[int, int] = {}
+        self._lru: dict[int, None] = {}  # insertion-ordered set of ref-0 pages
+        self.hits = 0
+        self.misses = 0
+
+    def lookup(self, key: bytes) -> int | None:
+        """Take a reference on the page for ``key`` if cached."""
+        page = self.key2page.get(key)
+        if page is None:
+            self.misses += 1
+            return None
+        self.refs[page] += 1
+        self._lru.pop(page, None)
+        self.hits += 1
+        return page
+
+    def register(self, key: bytes, page: int) -> bool:
+        """Register an owned page under ``key`` (the caller's ref counts)."""
+        if key in self.key2page or page in self.page2key:
+            return False
+        self.key2page[key] = page
+        self.page2key[page] = key
+        self.refs[page] = 1
+        return True
+
+    def release(self, page: int) -> bool:
+        """Drop one reference. True = the page stays cached (do NOT free)."""
+        if page not in self.page2key:
+            return False
+        self.refs[page] -= 1
+        if self.refs[page] == 0:
+            self._lru[page] = None
+        return True
+
+    @property
+    def evictable(self) -> int:
+        return len(self._lru)
+
+    def evict(self, n: int) -> list[int]:
+        """Unregister up to ``n`` least-recently-idle pages; returns them
+        (caller puts them back on the pool free list)."""
+        out = []
+        while self._lru and len(out) < n:
+            page = next(iter(self._lru))  # oldest idle entry (insertion order)
+            del self._lru[page]
+            out.append(page)
+            del self.key2page[self.page2key.pop(page)]
+            del self.refs[page]
+        return out
+
+    def clear(self):
+        self.key2page.clear()
+        self.page2key.clear()
+        self.refs.clear()
+        self._lru.clear()
+
+
 @jax.jit
 def _write_rows(pool, rows, page_ids, row_ids):
     """Scatter rows (L, R, KVH, hs) into pool at (page_ids[r], row_ids[r])."""

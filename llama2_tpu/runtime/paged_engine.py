@@ -117,19 +117,22 @@ def _tick_paged(
     donate_argnames=("k_pool", "v_pool"),
 )
 def _stage_write(
-    k_pool, v_pool, staging_k, staging_v, page_ids, row_ids, *, bucket: int
+    k_pool, v_pool, staging_k, staging_v, page_ids, row_ids, row0=0,
+    *, bucket: int,
 ):
-    """Move a prefilled staging plane's first ``bucket`` rows into pages.
+    """Move ``bucket`` staging-plane rows starting at ``row0`` into pages.
 
     One jitted program per bucket size: slicing/transposing/scattering
     eagerly per request re-specialized on every distinct prompt length,
-    which costs a fresh (remote) compile per admission. Rows past the real
-    length carry garbage; the host routes their coords to the scratch page.
-    staging_*: (L, 1, KVH, S, hs); page_ids/row_ids: (bucket,).
+    which costs a fresh (remote) compile per admission. ``row0`` is traced
+    (prefix-cache hits skip the shared prefix without new specializations).
+    Rows past the real length carry garbage; the host routes their coords
+    to the scratch page. staging_*: (L, 1, KVH, S, hs); page_ids/row_ids:
+    (bucket,).
     """
 
     def rows_of(staging):
-        r = jax.lax.slice_in_dim(staging[:, 0], 0, bucket, axis=2)
+        r = jax.lax.dynamic_slice_in_dim(staging[:, 0], row0, bucket, axis=2)
         return r.transpose(0, 2, 1, 3)  # (L, bucket, KVH, hs)
 
     from llama2_tpu.runtime.paged_cache import _write_rows
@@ -146,7 +149,7 @@ def _stage_write(
 )
 def _stage_write_q8(
     k_pool, ks_pool, v_pool, vs_pool, staging_k, staging_v,
-    page_ids, row_ids, *, bucket: int,
+    page_ids, row_ids, row0=0, *, bucket: int,
 ):
     """INT8 variant of :func:`_stage_write`: the fp staging plane's rows
     quantize per (row, kv-head) on the way into the int8 pools — prefill
@@ -155,7 +158,7 @@ def _stage_write_q8(
     from llama2_tpu.runtime.paged_cache import _write_rows, _write_scale_rows
 
     def rows_of(staging):
-        r = jax.lax.slice_in_dim(staging[:, 0], 0, bucket, axis=2)
+        r = jax.lax.dynamic_slice_in_dim(staging[:, 0], row0, bucket, axis=2)
         return r.transpose(0, 2, 1, 3)  # (L, bucket, KVH, hs)
 
     k8, k_sc = quantize_kv_rows(rows_of(staging_k))  # (L,b,KVH,hs), (L,b,KVH)
@@ -165,6 +168,38 @@ def _stage_write_q8(
     ks_pool = _write_scale_rows(ks_pool, k_sc, page_ids, row_ids)
     vs_pool = _write_scale_rows(vs_pool, v_sc, page_ids, row_ids)
     return k_pool, ks_pool, v_pool, vs_pool
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _gather_prefix(
+    staging_k, staging_v, k_pool, v_pool, table, *, n: int,
+    ks_pool=None, vs_pool=None,
+):
+    """Copy ``n`` cached prefix pages into the staging plane's first n*page
+    rows so suffix prefill can attend to the shared prefix (dequantizing
+    int8 pools on the way — the same values decode attention reads).
+    Specialized per page count only."""
+    L, P, KVH, ps, hs = k_pool.shape
+
+    def plane(pool, spool):
+        g = pool[:, table]  # (L, n, KVH, ps, hs)
+        if spool is not None:
+            from llama2_tpu.ops.pallas.attention_q8 import dequantize_kv
+
+            g = dequantize_kv(g, spool[:, table])
+        return (
+            g.transpose(0, 2, 1, 3, 4).reshape(L, KVH, n * ps, hs)
+        )
+
+    staging_k = jax.lax.dynamic_update_slice(
+        staging_k, plane(k_pool, ks_pool)[:, None].astype(staging_k.dtype),
+        (0, 0, 0, 0, 0),
+    )
+    staging_v = jax.lax.dynamic_update_slice(
+        staging_v, plane(v_pool, vs_pool)[:, None].astype(staging_v.dtype),
+        (0, 0, 0, 0, 0),
+    )
+    return staging_k, staging_v
 
 
 class PagedBatchEngine(BatchEngine):
@@ -179,6 +214,7 @@ class PagedBatchEngine(BatchEngine):
         batch_size: int = 8,
         n_pages: int | None = None,
         page_size: int = 256,
+        prefix_cache: bool = False,
         **kw,
     ):
         super().__init__(config, params, batch_size=batch_size, **kw)
@@ -210,6 +246,12 @@ class PagedBatchEngine(BatchEngine):
         self.max_pages = -(-config.seq_len // page_size)
         self._tables = np.zeros((batch_size, self.max_pages), np.int32)
         self._slot_pages: list[list[int]] = [[] for _ in range(batch_size)]
+        # vLLM-style automatic prefix caching: full prompt-prefix pages are
+        # shared across requests (runtime/paged_cache.PrefixCache)
+        from llama2_tpu.runtime.paged_cache import PrefixCache
+
+        self.prefix = PrefixCache() if prefix_cache else None
+        self.metrics["prefix_hit_pages"] = 0
         # one dense staging plane for prefill (a single request's worst case)
         self._staging = self._shard_staging(
             init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
@@ -232,6 +274,8 @@ class PagedBatchEngine(BatchEngine):
             lane_pad=self.lane_pad, kv_quant=self.kv_quant,
         ))
         self.pool.free = [p for p in self.pool.free if p != 0]
+        if self.prefix is not None:
+            self.prefix.clear()
         self._tables[:] = 0
         self._slot_pages = [[] for _ in range(self.batch_size)]
         self._staging = self._shard_staging(
@@ -244,6 +288,32 @@ class PagedBatchEngine(BatchEngine):
         from llama2_tpu.parallel.sharding import shard_cache
 
         return shard_cache(staging, self.mesh)
+
+    def _alloc(self, n: int) -> list[int]:
+        """Allocate pages, evicting idle prefix-cache pages under pressure
+        (refcount-0 pages return to the free list LRU-first)."""
+        if (
+            self.prefix is not None
+            and len(self.pool.free) < n
+            and self.prefix.evictable
+        ):
+            self.pool.release(
+                self.prefix.evict(n - len(self.pool.free))
+            )
+        return self.pool.alloc(n)
+
+    def _free_now(self) -> int:
+        """Pages obtainable right now (free list + evictable cache)."""
+        return len(self.pool.free) + (
+            self.prefix.evictable if self.prefix is not None else 0
+        )
+
+    def _release_pages(self, pages: list[int]) -> None:
+        """Return pages to the pool; shared prefix pages stay cached."""
+        if self.prefix is None:
+            self.pool.release(pages)
+            return
+        self.pool.release([p for p in pages if not self.prefix.release(p)])
 
     def _fail_all(self, err: Exception):
         for slot, req in enumerate(self.slots):
@@ -280,9 +350,29 @@ class PagedBatchEngine(BatchEngine):
                 return
             feed = np.asarray([BOS] + prompt, dtype=np.int32)
 
-        # admission control: stream pages + one spare for decode growth
-        need = self.pool.pages_for(len(feed)) + 1
-        if need > self.pool.n_pages - 1:  # minus the reserved scratch page
+        # prefix-cache hits: longest chain of cached FULL pages matching the
+        # feed (capped at len(feed)-1 so at least one token always prefills
+        # and the first-token logits exist)
+        ps = self.page_size
+        hits: list[int] = []
+        if self.prefix is not None:
+            while (len(hits) + 1) * ps <= len(feed) - 1:
+                page = self.prefix.lookup(
+                    feed[: (len(hits) + 1) * ps].tobytes()
+                )
+                if page is None:
+                    break
+                hits.append(page)
+        p0 = len(hits) * ps
+
+        # admission control: stream pages + one spare for decode growth.
+        # ``need`` is what must come off the free list now (hit pages are
+        # already resident and referenced); the can-NEVER-fit test uses the
+        # stream's total residency, independent of hits.
+        total = self.pool.pages_for(len(feed)) + 1
+        need = total - len(hits)
+        if total > self.pool.n_pages - 1:  # minus the reserved scratch page
+            self._release_pages(hits)
             if resume:
                 # the grown stream genuinely cannot fit the pool even empty:
                 # return the tokens it has rather than erroring them away
@@ -290,24 +380,35 @@ class PagedBatchEngine(BatchEngine):
             else:
                 req.result_q.put(
                     OutOfPages(
-                        f"prompt needs {need} pages; pool holds "
+                        f"prompt needs {total} pages; pool holds "
                         f"{self.pool.n_pages - 1} — raise n_pages/page_size"
                     )
                 )
             return
-        if len(self.pool.free) < need:
+        if self._free_now() < need:
             # not enough memory right now: retry ahead of newer arrivals
             # once running slots retire (capacity check rules out livelock)
+            self._release_pages(hits)
             self._requeue.append(req)
             return
 
         # prefill through the shared dense staging plane: stale rows from
         # the previous tenant are never read (attention masks to <= pos and
-        # garbage rows past the prompt route to the scratch page)
+        # garbage rows past the prompt route to the scratch page). A cached
+        # prefix is copied in first so the suffix attends to it; prefill
+        # then starts at p0.
         staging = self._staging
-        pos = 0
+        if p0:
+            sk, sv = _gather_prefix(
+                staging["k"], staging["v"], self.pool.k, self.pool.v,
+                jnp.asarray(np.asarray(hits, np.int32)), n=len(hits),
+                ks_pool=self.pool.ks, vs_pool=self.pool.vs,
+            )
+            staging = {**staging, "k": sk, "v": sv}
+            self.metrics["prefix_hit_pages"] += len(hits)
+        pos = p0
         logits = None
-        remaining = feed
+        remaining = feed[p0:]
         from llama2_tpu.runtime.batch_engine import PREFILL_CHUNKS
 
         while len(remaining):
@@ -327,26 +428,32 @@ class PagedBatchEngine(BatchEngine):
                     remaining = remaining[len(seg):]
                     break
 
-        # move the staged KV rows into freshly allocated pages — one jitted
-        # program per power-of-two bucket; garbage rows past ``pos`` route
-        # to the scratch page (page 0)
+        # move the staged KV rows [p0, pos) into freshly allocated pages —
+        # one jitted program per power-of-two bucket; garbage rows outside
+        # the real range route to the scratch page (page 0). The slot's
+        # logical table is hit pages followed by the new ones.
         import dataclasses as _dc
 
         from llama2_tpu.runtime.paged_cache import _bucket
 
-        pages = self.pool.alloc(self.pool.pages_for(pos))
-        table = np.asarray(pages, np.int32)
-        bucket = min(_bucket(pos), self.config.seq_len)
-        logical = np.arange(bucket)
-        real = logical < pos
-        page_idx = np.minimum(logical // self.page_size, len(pages) - 1)
+        pages = self._alloc(self.pool.pages_for(pos) - len(hits))
+        full = hits + pages
+        table = np.asarray(full, np.int32)
+        bucket = min(_bucket(pos - p0), self.config.seq_len)
+        # start the window at p0 when it fits, else shift it back (the rows
+        # before p0 are already in shared pages; they mask to scratch)
+        row0 = max(0, min(p0, self.config.seq_len - bucket))
+        logical = row0 + np.arange(bucket)
+        real = (logical >= p0) & (logical < pos)
+        page_idx = np.minimum(logical // self.page_size, len(full) - 1)
         pids = np.where(real, table[page_idx], 0).astype(np.int32)
         rids = np.where(real, logical % self.page_size, 0).astype(np.int32)
         if self.kv_quant:
             k_pool, ks_pool, v_pool, vs_pool = _stage_write_q8(
                 self.pool.k, self.pool.ks, self.pool.v, self.pool.vs,
                 staging["k"], staging["v"],
-                jnp.asarray(pids), jnp.asarray(rids), bucket=bucket,
+                jnp.asarray(pids), jnp.asarray(rids), jnp.int32(row0),
+                bucket=bucket,
             )
             self.pool = _dc.replace(
                 self.pool, k=k_pool, ks=ks_pool, v=v_pool, vs=vs_pool
@@ -354,9 +461,17 @@ class PagedBatchEngine(BatchEngine):
         else:
             k_pool, v_pool = _stage_write(
                 self.pool.k, self.pool.v, staging["k"], staging["v"],
-                jnp.asarray(pids), jnp.asarray(rids), bucket=bucket,
+                jnp.asarray(pids), jnp.asarray(rids), jnp.int32(row0),
+                bucket=bucket,
             )
             self.pool = _dc.replace(self.pool, k=k_pool, v=v_pool)
+
+        # register this stream's newly-FULL pages so future admissions can
+        # share them (a duplicate key means an identical prompt beat us to
+        # it; that page stays private and frees normally at retire)
+        if self.prefix is not None:
+            for j in range(len(hits), pos // ps):
+                self.prefix.register(feed[: (j + 1) * ps].tobytes(), full[j])
 
         if resume:
             first = req.tokens[-1]  # already emitted; its KV writes next tick
@@ -369,17 +484,17 @@ class PagedBatchEngine(BatchEngine):
             req.tokens = list(prompt)
             req.steps = steps
             if first == BOS:
-                self.pool.release(pages)
+                self._release_pages(full)
                 self._finish(slot_req=req)
                 return
             req.tokens.append(first)  # len(prompt) < steps here (echo check)
         if len(req.tokens) >= steps:
-            self.pool.release(pages)
+            self._release_pages(full)
             self._finish(slot_req=req)
             return
         self.slots[slot] = req
-        self._slot_pages[slot] = pages
-        self._tables[slot, : len(pages)] = pages
+        self._slot_pages[slot] = full
+        self._tables[slot, : len(full)] = full
         self._tokens[slot] = first
         self._pos[slot] = pos
         self._temp[slot] = req.gen.temperature if req.gen.temperature > 0 else 1.0
@@ -404,7 +519,7 @@ class PagedBatchEngine(BatchEngine):
             need = last_idx + 1 - len(self._slot_pages[slot])
             if need > 0:
                 try:
-                    pgs = self.pool.alloc(need)
+                    pgs = self._alloc(need)
                 except OutOfPages:
                     self._release_slot(slot)
                     others = any(
@@ -473,6 +588,6 @@ class PagedBatchEngine(BatchEngine):
         self._release_slot(slot)
 
     def _release_slot(self, slot: int):
-        self.pool.release(self._slot_pages[slot])
+        self._release_pages(self._slot_pages[slot])
         self._slot_pages[slot] = []
         self._tables[slot, :] = 0

@@ -13,15 +13,17 @@ Endpoints:
 
 Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8] \
-          [--paged [--page-size 256] [--pages N]] [--ticks-per-sync K]
-          [--kv-cache f32|int8] [--spec N] [--kernels xla|pallas]
-          [--mesh DPxTP]
+          [--paged [--page-size 256] [--pages N] [--prefix-cache]]
+          [--ticks-per-sync K] [--kv-cache f32|int8] [--spec N]
+          [--kernels xla|pallas] [--mesh DPxTP]
 
 ``--paged`` switches the KV cache to the paged layout
 (runtime/paged_engine.py): memory scales with tokens in flight instead of
-batch_size * seq_len. ``--mesh 2x4`` serves over a (data, model) device
-mesh: params tensor-shard over ``model``, slots over ``data``, every tick
-one GSPMD program (parallel/sharding.py).
+batch_size * seq_len. ``--prefix-cache`` adds vLLM-style automatic prefix
+caching: full prompt-prefix pages are shared across requests, so repeated
+system prompts prefill only their unique suffix. ``--mesh 2x4`` serves over
+a (data, model) device mesh: params tensor-shard over ``model``, slots over
+``data``, every tick one GSPMD program (parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -63,15 +65,16 @@ class _Handler(BaseHTTPRequestHandler):
             )
         elif self.path == "/metrics":
             pct = eng.ttft_percentiles()
-            self._send(
-                200,
-                {
-                    "requests": eng.metrics["requests"],
-                    "tokens": eng.metrics["tokens"],
-                    "ttft_p50_ms": None if pct["p50"] is None else pct["p50"] * 1e3,
-                    "ttft_p95_ms": None if pct["p95"] is None else pct["p95"] * 1e3,
-                },
-            )
+            out = {
+                "requests": eng.metrics["requests"],
+                "tokens": eng.metrics["tokens"],
+                "ttft_p50_ms": None if pct["p50"] is None else pct["p50"] * 1e3,
+                "ttft_p95_ms": None if pct["p95"] is None else pct["p95"] * 1e3,
+            }
+            if getattr(eng, "prefix", None) is not None:
+                out["prefix_hit_pages"] = eng.metrics["prefix_hit_pages"]
+                out["prefix_cached_pages"] = len(eng.prefix.key2page)
+            self._send(200, out)
         else:
             self._send(404, {"error": "not found"})
 
@@ -161,6 +164,7 @@ def main(argv=None):
     paged = False
     page_size = 256
     n_pages = None
+    prefix_cache = False
     ticks = 1
     kv_cache = "f32"
     spec = 0
@@ -192,6 +196,8 @@ def main(argv=None):
             platform = argv[i]
         elif a == "--paged":
             paged = True
+        elif a == "--prefix-cache":
+            prefix_cache = True
         elif a == "--ticks-per-sync":
             i += 1
             ticks = int(argv[i])
@@ -234,6 +240,9 @@ def main(argv=None):
 
     if paged and spec:
         print("--paged does not support --spec yet", file=sys.stderr)
+        return 1
+    if prefix_cache and not paged:
+        print("--prefix-cache requires --paged", file=sys.stderr)
         return 1
     if mesh_spec is not None:
         try:
@@ -282,6 +291,7 @@ def main(argv=None):
             backend=kernels,
             kv_quant=kv_cache == "int8",
             mesh=mesh,
+            prefix_cache=prefix_cache,
         )
     else:
         engine = BatchEngine(

@@ -245,6 +245,108 @@ def test_paged_q8_engine_tracks_dense_q8(setup):
     assert agree / max(tot, 1) >= 0.9, (want, got)
 
 
+def test_prefix_cache_hits_are_token_identical(setup):
+    """Automatic prefix caching: a repeated prompt re-uses the cached pages
+    (prefill skips the shared prefix) and emits the exact same stream as the
+    single-stream reference."""
+    config, params, ref = setup
+    prompt = [5, 17, 320, 9, 44, 7, 250, 4, 99, 2, 18, 31, 6, 77, 12]
+    gen = GenerationConfig(temperature=0.0, steps=24)
+    want = ref.generate(prompt, gen).tokens
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=1, page_size=8, n_pages=24,
+        prefix_cache=True,
+    )
+    q1 = eng.submit(prompt, gen)
+    eng.run_until_idle()
+    assert q1.get(timeout=60).tokens == want
+    assert eng.metrics["prefix_hit_pages"] == 0  # cold cache
+    assert eng.prefix.key2page  # prompt pages registered at retire
+
+    q2 = eng.submit(prompt, gen)
+    eng.run_until_idle()
+    assert q2.get(timeout=60).tokens == want
+    # BOS+15 tokens = 16 rows, hits capped at len(feed)-1 -> 1 full page
+    assert eng.metrics["prefix_hit_pages"] >= 1
+    assert eng.prefix.hits >= 1
+
+
+def test_prefix_cache_shares_pages_across_live_slots(setup):
+    """Two in-flight requests with the same prompt hold the SAME physical
+    prefix pages (refcount 2), and decode growth never corrupts them."""
+    config, params, ref = setup
+    prompt = list(range(3, 3 + 20))
+    gen = GenerationConfig(temperature=0.0, steps=32)
+    want = ref.generate(prompt, gen).tokens
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=8, n_pages=24,
+        prefix_cache=True,
+    )
+    # admit both before ticking so they run concurrently
+    queues = [eng.submit(prompt, gen) for _ in range(2)]
+    eng._admit()
+    shared = [
+        p for p in eng._slot_pages[0]
+        if p in eng._slot_pages[1] and p in eng.prefix.page2key
+    ]
+    assert shared, "second admission should reuse cached prefix pages"
+    assert all(eng.prefix.refs[p] == 2 for p in shared)
+    eng.run_until_idle()
+    for q in queues:
+        assert q.get(timeout=60).tokens == want
+    # all refs dropped; shared pages stay cached (evictable), rest freed
+    assert all(eng.prefix.refs[p] == 0 for p in eng.prefix.refs)
+    usable = eng.pool.n_pages - 1  # minus scratch
+    assert len(eng.pool.free) + len(eng.prefix.page2key) == usable
+
+
+def test_prefix_cache_evicts_under_pressure(setup):
+    """Idle cached pages return to the free list (LRU-first) when an
+    admission or decode growth needs memory — caching never deadlocks the
+    pool."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    # 7 usable pages of 4 rows; each ~12-token stream wants 4 pages
+    eng = PagedBatchEngine(
+        config, params, batch_size=1, page_size=4, n_pages=8,
+        prefix_cache=True,
+    )
+    prompts = [list(range(2, 10)), list(range(40, 48)), list(range(80, 88))]
+    for p in prompts:
+        want = ref.generate(p, gen).tokens
+        q = eng.submit(p, gen)
+        eng.run_until_idle(max_ticks=2000)
+        assert q.get(timeout=60).tokens == want
+    # the pool cannot cache all three prompts' pages: eviction must have run
+    usable = eng.pool.n_pages - 1
+    assert len(eng.pool.free) + len(eng.prefix.page2key) == usable
+    assert eng.prefix.evictable == len(eng.prefix.page2key)
+
+
+def test_prefix_cache_q8_roundtrip(setup):
+    """INT8 pools: cached prefix pages dequantize into the staging plane on
+    a hit; the replayed stream stays near-identical to the cold run (the
+    suffix attends to dequantized values, exactly what decode reads)."""
+    config, params, _ = setup
+    prompt = [5, 17, 320, 9, 44, 7, 250, 4, 99, 2, 18, 31, 6, 77, 12]
+    gen = GenerationConfig(temperature=0.0, steps=20)
+    eng = PagedBatchEngine(
+        config, params, batch_size=1, page_size=8, n_pages=24,
+        kv_quant=True, prefix_cache=True,
+    )
+    q1 = eng.submit(prompt, gen)
+    eng.run_until_idle()
+    cold = q1.get(timeout=60).tokens
+    q2 = eng.submit(prompt, gen)
+    eng.run_until_idle()
+    warm = q2.get(timeout=60).tokens
+    assert eng.metrics["prefix_hit_pages"] >= 1
+    agree = sum(a == b for a, b in zip(cold, warm))
+    assert agree / max(len(cold), len(warm), 1) >= 0.9, (cold, warm)
+
+
 def test_paged_q8_preemption_completes(setup):
     """Memory pressure on the INT8 pools: preempt-and-recompute still
     completes every request and preserves each emitted prefix (recompute
