@@ -222,6 +222,8 @@ def _layer_decode_stacked(
     precision,
     backend: str,
     quant_idx,  # layer index for stacked QuantTensors (or None)
+    cos_il=None,  # (B, hs) pair-duplicated step rope tables — enables the
+    sin_il=None,  # glue-fused attention kernel (rope+quant+append in-kernel)
 ):
     """One decoder layer of the T=1 decode step over LAYER-STACKED caches.
 
@@ -251,6 +253,70 @@ def _layer_decode_stacked(
         and isinstance(layer_params.get("wqkv"), QuantTensor)
         and layer_params["wqkv"].q.ndim == 3
     )
+
+    # Fully-fused attention block: qkv launch → attention launch, with RoPE,
+    # K/V quantization, and the cache append all inside the attention kernel
+    # (ops/pallas/attention_q8.py::flash_decode_attention_q8_fused). The
+    # decode step is launch-bound at 7B scale; this removes every XLA op
+    # between the two launches.
+    from llama2_tpu.ops.pallas.common import interpret_default
+
+    if (
+        fuse_glue
+        and kv_quant
+        and cos_il is not None
+        and (hs % 128 == 0 or interpret_default())
+        and k_cache.shape[-1] == hs
+        and k_cache.shape[3] % 128 == 0
+    ):
+        from llama2_tpu.ops.pallas.attention_q8 import (
+            flash_decode_attention_q8_fused,
+        )
+        from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+        qkv = quant_matmul_stacked(
+            x, layer_params["wqkv"], quant_idx,
+            rms_w=layer_params["rms_att"], eps=config.norm_eps,
+        )  # (B, 1, D + 2*KV) — pre-rope
+        pvec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+        att, k_cache, ks_cache, v_cache, vs_cache = (
+            flash_decode_attention_q8_fused(
+                qkv[:, 0].reshape(B, H + 2 * KVH, hs),
+                k_cache, ks_cache, v_cache, vs_cache,
+                cos_il, sin_il, layer_idx, pvec,
+                n_heads=H, scale=1.0 / (hs**0.5),
+            )
+        )
+        att = att.reshape(B, T, D)
+        if isinstance(layer_params["wo"], QuantTensor):
+            x = quant_matmul_stacked(
+                att, layer_params["wo"], quant_idx, residual=x
+            )
+        else:
+            x = x + linear(att, layer_params["wo"], precision, backend, quant_idx)
+        if use_mlp_block(layer_params, backend):
+            from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
+
+            x = mlp_block_stacked(
+                x, layer_params["rms_ffn"], layer_params["w1"],
+                layer_params["w3"], layer_params["w2"], quant_idx,
+                config.norm_eps,
+            )
+        else:
+            xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
+            if "w13" in layer_params:
+                HD = layer_params["w13"].shape[-1] // 2
+                h13 = linear(xb, layer_params["w13"], precision, backend, quant_idx)
+                h1, h3 = h13[..., :HD], h13[..., HD:]
+            else:
+                h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
+                h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
+            x = x + linear(
+                ops.swiglu(h1, h3), layer_params["w2"], precision, backend,
+                quant_idx,
+            )
+        return x, (k_cache, ks_cache, v_cache, vs_cache)
+
     if fuse_glue:
         # rmsnorm fused into the qkv launch (quant_matmul prologue) — the
         # decode step is launch-bound, every XLA dispatch between pallas
@@ -531,13 +597,24 @@ def forward(
         else:
             caches = (cache["k"], cache["v"])
 
+        # Pair-duplicated step rope rows for the glue-fused attention kernel
+        # — computed ONCE per step here (outside the layer scan, every layer
+        # shares the step's positions) when the fused path can engage.
+        cos_il = sin_il = None
+        if backend == "pallas" and kv_quant and stacked:
+            B = tokens.shape[0]
+            cos_il = jnp.repeat(cos.reshape(-1, cos.shape[-1]), 2, axis=-1)
+            sin_il = jnp.repeat(sin.reshape(-1, sin.shape[-1]), 2, axis=-1)
+            cos_il = jnp.broadcast_to(cos_il, (B, cos_il.shape[-1]))
+            sin_il = jnp.broadcast_to(sin_il, (B, sin_il.shape[-1]))
+
         def dbody(carry, xs):
             x, caches = carry
             idx, layer_params = xs
             lp = {**layer_params, **stacked}
             x, caches = _layer_decode_stacked(
                 x, lp, caches, idx, pos, cos, sin, config, precision,
-                backend, idx if stacked else None,
+                backend, idx if stacked else None, cos_il, sin_il,
             )
             return (x, caches), None
 

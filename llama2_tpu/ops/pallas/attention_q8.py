@@ -220,6 +220,103 @@ def _flash_decode_q8(
     )
 
 
+def _rope_interleaved(x, cos_il, sin_il):
+    """Interleaved-pair RoPE on lane-major rows inside a kernel.
+
+    ``x``: (..., hs) f32; ``cos_il/sin_il``: broadcastable (..., hs) with each
+    pair's cos/sin DUPLICATED onto both lanes (cos_il[2j] == cos_il[2j+1]).
+    Uses two 1-lane circular rolls + a parity select instead of the XLA
+    formulation's (hs/2, 2) reshape, which Mosaic would relayout. The wrap
+    lanes of each roll land only on the opposite parity and are masked by
+    the select. Computes exactly x0*c - x1*s / x0*s + x1*c per pair, so it
+    is bit-identical to :func:`llama2_tpu.ops.xla.apply_rope`.
+    """
+    hs = x.shape[-1]
+    left = pltpu.roll(x, shift=hs - 1, axis=x.ndim - 1)  # lane j <- x[j+1]
+    right = pltpu.roll(x, shift=1, axis=x.ndim - 1)  # lane j <- x[j-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    swapneg = jnp.where(lane % 2 == 0, -left, right)
+    return x * cos_il + swapneg * sin_il
+
+
+def _quantize_rows(x):
+    """In-kernel :func:`quantize_kv_rows`: (N, hs) → ((N, 1, hs) int8,
+    (N, 1) f32 scales). Same formula, so cache bytes match the XLA path."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # (N, 1)
+    scale = amax / 127.0
+    safe = jnp.maximum(scale, 1e-20)
+    q8 = jnp.clip(jnp.round(x / safe), -127, 127).astype(jnp.int8)
+    return q8[:, None, :], scale
+
+
+def _append_rmw(
+    layer, b, pos, k_new, k_sc, v_new, v_sc,
+    k_out, ks_out, v_out, vs_out, kwin, vwin, kswin, vswin, sems,
+):
+    """Aligned read-modify-write append of one (KVH, hs) K/V row + scales.
+
+    A single int8 row cannot be DMA'd (int8 sublane tile is 8 with 4-row
+    packing, so S-dim slices must be 8-aligned multiples of 8) and a single
+    f32 scale element sits mid-lane-tile, so the kernel reads the enclosing
+    ALIGNED window (8 rows of K/V, 128 lanes of scales), merges this step's
+    row with a vector select, and writes the window back — all window
+    shapes/offsets are tile-aligned and the extra traffic is
+    ~KVH*(8*hs + 512) bytes per program. This replaces B x 4 x L per-step
+    dynamic_update_slices, measured at ~160 us PER LAYER of pure op-dispatch
+    overhead at 7B serving shapes (benchmarks/decode_breakdown.py).
+
+    ``k_new/v_new``: (KVH, 1, hs) int8 values; ``k_sc/v_sc``: (KVH, 1) f32.
+    """
+    a8 = (pos // 8) * 8
+    off8 = pos - a8
+    a128 = (pos // 128) * 128
+    off128 = pos - a128
+    reads = (
+        pltpu.make_async_copy(
+            k_out.at[layer, b, :, pl.ds(a8, 8), :], kwin, sems.at[0, 4]
+        ),
+        pltpu.make_async_copy(
+            v_out.at[layer, b, :, pl.ds(a8, 8), :], vwin, sems.at[1, 4]
+        ),
+        pltpu.make_async_copy(
+            ks_out.at[layer, b, :, pl.ds(a128, 128)], kswin, sems.at[0, 5]
+        ),
+        pltpu.make_async_copy(
+            vs_out.at[layer, b, :, pl.ds(a128, 128)], vswin, sems.at[1, 5]
+        ),
+    )
+    for r in reads:
+        r.start()
+    for r in reads:
+        r.wait()
+    KVH = kwin.shape[0]
+    hs = kwin.shape[2]
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, hs), 1)
+    kwin[:] = jnp.where(row8 == off8, k_new, kwin[:])
+    vwin[:] = jnp.where(row8 == off8, v_new, vwin[:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KVH, 128), 1)
+    kswin[:] = jnp.where(lane == off128, k_sc, kswin[:])
+    vswin[:] = jnp.where(lane == off128, v_sc, vswin[:])
+    writes = (
+        pltpu.make_async_copy(
+            kwin, k_out.at[layer, b, :, pl.ds(a8, 8), :], sems.at[0, 4]
+        ),
+        pltpu.make_async_copy(
+            vwin, v_out.at[layer, b, :, pl.ds(a8, 8), :], sems.at[1, 4]
+        ),
+        pltpu.make_async_copy(
+            kswin, ks_out.at[layer, b, :, pl.ds(a128, 128)], sems.at[0, 5]
+        ),
+        pltpu.make_async_copy(
+            vswin, vs_out.at[layer, b, :, pl.ds(a128, 128)], sems.at[1, 5]
+        ),
+    )
+    for w in writes:
+        w.start()
+    for w in writes:
+        w.wait()
+
+
 def _kernel_stacked(
     pos_ref,  # (B,) int32
     layer_ref,  # (1,) int32
@@ -251,80 +348,39 @@ def _kernel_stacked(
     scale: float,
 ):
     """Stacked-cache T=1 decode attention over the INT8 KV cache with
-    in-kernel read-modify-write appends.
+    in-kernel read-modify-write appends (see :func:`_append_rmw`).
 
     Batched-serving shape: the grid is (B,) and each program streams ALL KV
     heads' blocks in one strided DMA — a (b, h)-per-program grid issues
     B*KVH tiny DMAs per layer and goes DMA-latency-bound (measured ~195 us
     per layer call at B=8, KVH=16 vs ~58 us at B=1).
-
-    Appends: a single int8 row cannot be DMA'd (int8 sublane tile is 8
-    with 4-row packing, so S-dim slices must be 8-aligned multiples of 8)
-    and a single f32 scale element sits mid-lane-tile, so the kernel reads
-    the enclosing ALIGNED window (8 rows of K/V, 128 lanes of scales),
-    merges this step's row with a vector select, and writes the window back
-    — all window shapes/offsets are tile-aligned and the extra traffic is
-    ~KVH*(8*hs + 512) bytes per program. This replaces B x 4 x L
-    per-step dynamic_update_slices, measured at ~160 us PER LAYER of pure
-    op-dispatch overhead at 7B serving shapes (benchmarks; the engine step
-    decomposition made them the second-largest term after weights).
     """
     b = pl.program_id(0)
     layer = layer_ref[0]
     pos = pos_ref[b]
     n_blocks = jax.lax.div(pos, block_s) + 1
 
-    # ---- RMW appends (aligned windows) ----
-    a8 = (pos // 8) * 8
-    off8 = pos - a8
-    a128 = (pos // 128) * 128
-    off128 = pos - a128
-    reads = (
-        pltpu.make_async_copy(
-            k_out.at[layer, b, :, pl.ds(a8, 8), :], kwin, sems.at[0, 4]
-        ),
-        pltpu.make_async_copy(
-            v_out.at[layer, b, :, pl.ds(a8, 8), :], vwin, sems.at[1, 4]
-        ),
-        pltpu.make_async_copy(
-            ks_out.at[layer, b, :, pl.ds(a128, 128)], kswin, sems.at[0, 5]
-        ),
-        pltpu.make_async_copy(
-            vs_out.at[layer, b, :, pl.ds(a128, 128)], vswin, sems.at[1, 5]
-        ),
+    _append_rmw(
+        layer, b, pos,
+        knew_ref[0, :, 0:1, :], ksnew_ref[0], vnew_ref[0, :, 0:1, :],
+        vsnew_ref[0],
+        k_out, ks_out, v_out, vs_out, kwin, vwin, kswin, vswin, sems,
     )
-    for r in reads:
-        r.start()
-    for r in reads:
-        r.wait()
-    KVH = kwin.shape[0]
-    hs = kwin.shape[2]
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, hs), 1)
-    kwin[:] = jnp.where(row8 == off8, knew_ref[0, :, 0:1, :], kwin[:])
-    vwin[:] = jnp.where(row8 == off8, vnew_ref[0, :, 0:1, :], vwin[:])
-    lane = jax.lax.broadcasted_iota(jnp.int32, (KVH, 128), 1)
-    kswin[:] = jnp.where(lane == off128, ksnew_ref[0], kswin[:])
-    vswin[:] = jnp.where(lane == off128, vsnew_ref[0], vswin[:])
-    writes = (
-        pltpu.make_async_copy(
-            kwin, k_out.at[layer, b, :, pl.ds(a8, 8), :], sems.at[0, 4]
-        ),
-        pltpu.make_async_copy(
-            vwin, v_out.at[layer, b, :, pl.ds(a8, 8), :], sems.at[1, 4]
-        ),
-        pltpu.make_async_copy(
-            kswin, ks_out.at[layer, b, :, pl.ds(a128, 128)], sems.at[0, 5]
-        ),
-        pltpu.make_async_copy(
-            vswin, vs_out.at[layer, b, :, pl.ds(a128, 128)], sems.at[1, 5]
-        ),
-    )
-    for w in writes:
-        w.start()
-    for w in writes:
-        w.wait()
+    o_ref[0] = _attend_blocks(
+        layer, b, pos, n_blocks, q_ref[0].astype(jnp.bfloat16),
+        k_out, ks_out, v_out, vs_out, k_buf, ks_buf, v_buf, vs_buf, sems,
+        block_s=block_s, scale=scale,
+    ).astype(o_ref.dtype)
 
-    # ---- online-softmax block loop ----
+
+def _attend_blocks(
+    layer, b, pos, n_blocks, q,
+    k_out, ks_out, v_out, vs_out, k_buf, ks_buf, v_buf, vs_buf, sems,
+    *, block_s: int, scale: float,
+):
+    """Double-buffered online-softmax loop over the int8 KV blocks of
+    (layer, b). ``q``: (KVH, G, hs) bf16 values. Returns (KVH, G, hs) f32."""
+
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
             k_out.at[layer, b, :, pl.ds(blk * block_s, block_s), :],
@@ -352,7 +408,6 @@ def _kernel_stacked(
     for d in (k_dma, ks_dma, v_dma, vs_dma):
         d(0, 0).start()
 
-    q = q_ref[0].astype(jnp.bfloat16)  # (KVH, G, hs)
     KVH, G, hs = q.shape
 
     def body(i, carry):
@@ -398,7 +453,7 @@ def _kernel_stacked(
     l0 = jnp.zeros((KVH, G, 1), jnp.float32)
     acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    return acc / l
 
 
 @functools.partial(
@@ -530,6 +585,200 @@ def flash_decode_attention_q8_stacked(
         layer_vec, pos_vec, float(scale), bs, interpret,
     )
     return (out[:, None] if squeeze else out), k8, k_scale, v8, v_scale
+
+
+def _kernel_stacked_fused(
+    pos_ref,  # (B,) int32
+    layer_ref,  # (1,) int32
+    qkv_ref,  # (1, H + 2*KVH, hs) f32 VMEM — PRE-rope QKV rows
+    cos_ref,  # (1, hs) f32 VMEM — interleaved-duplicated step table
+    sin_ref,
+    k_hbm_in,  # aliased pools
+    ks_hbm_in,
+    v_hbm_in,
+    vs_hbm_in,
+    o_ref,  # (1, KVH, G, hs) VMEM
+    k_out,
+    ks_out,
+    v_out,
+    vs_out,
+    k_buf,
+    ks_buf,
+    v_buf,
+    vs_buf,
+    kwin,
+    vwin,
+    kswin,
+    vswin,
+    sems,
+    *,
+    block_s: int,
+    scale: float,
+    n_q_heads: int,
+):
+    """:func:`_kernel_stacked` with the inter-launch XLA glue pulled into
+    the kernel prologue: RoPE on q/k (:func:`_rope_interleaved`) and per-row
+    K/V quantization (:func:`_quantize_rows`) run on the VPU on data already
+    in VMEM. The decode step is launch-bound at 7B scale — every XLA op
+    between the qkv launch and this kernel is unhidden wall time, so the
+    kernel takes the raw fused-QKV launch output instead."""
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    pos = pos_ref[b]
+    n_blocks = jax.lax.div(pos, block_s) + 1
+    H = n_q_heads
+    KVH = kwin.shape[0]
+    hs = kwin.shape[2]
+
+    qkv = qkv_ref[0]  # (H + 2*KVH, hs) f32
+    cos = cos_ref[...]  # (1, hs) — broadcasts over rows
+    sin = sin_ref[...]
+    q = _rope_interleaved(qkv[:H], cos, sin)
+    k = _rope_interleaved(qkv[H : H + KVH], cos, sin)
+    v = qkv[H + KVH :]
+    k8, k_sc = _quantize_rows(k)  # (KVH, 1, hs) int8, (KVH, 1) f32
+    v8, v_sc = _quantize_rows(v)
+
+    _append_rmw(
+        layer, b, pos, k8, k_sc, v8, v_sc,
+        k_out, ks_out, v_out, vs_out, kwin, vwin, kswin, vswin, sems,
+    )
+    o_ref[0] = _attend_blocks(
+        layer, b, pos, n_blocks,
+        q.reshape(KVH, H // KVH, hs).astype(jnp.bfloat16),
+        k_out, ks_out, v_out, vs_out, k_buf, ks_buf, v_buf, vs_buf, sems,
+        block_s=block_s, scale=scale,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "scale", "block_s", "interpret"),
+    inline=True,
+)
+def _flash_decode_q8_fused(
+    qkv, k8, ks, v8, vs, cos_il, sin_il, layer, pos,
+    n_heads: int, scale: float, block_s: int, interpret: bool,
+):
+    B = qkv.shape[0]
+    KVH = k8.shape[2]
+    hs = k8.shape[4]
+    H = n_heads
+    G = H // KVH
+
+    def vmem_spec(shape):
+        nd = len(shape)
+
+        def imap(b, pos_ref, layer_ref, nd=nd):
+            return (b,) + (0,) * (nd - 1)
+
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            vmem_spec((1, H + 2 * KVH, hs)),  # qkv
+            vmem_spec((1, hs)),  # cos_il
+            vmem_spec((1, hs)),  # sin_il
+            hbm_spec, hbm_spec, hbm_spec, hbm_spec,  # pools (aliased)
+        ],
+        out_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec, hbm_spec, hbm_spec, hbm_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KVH, block_s, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, block_s), jnp.float32),
+            pltpu.VMEM((2, KVH, block_s, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, block_s), jnp.float32),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    # operands: 0=pos 1=layer 2=qkv 3=cos 4=sin 5=k8 6=ks 7=v8 8=vs
+    # outputs:  0=att 1=k8 2=ks 3=v8 4=vs
+    out, k8, ks, v8, vs = pl.pallas_call(
+        functools.partial(
+            _kernel_stacked_fused, block_s=block_s, scale=scale,
+            n_q_heads=H,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, G, hs), qkv.dtype),
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        interpret=interpret,
+    )(pos, layer, qkv, cos_il, sin_il, k8, ks, v8, vs)
+    return out.reshape(B, H, hs), k8, ks, v8, vs
+
+
+def flash_decode_attention_q8_fused(
+    qkv: jax.Array,  # (B, H+2*KVH, hs) f32 — raw fused-QKV output, PRE-rope
+    k8: jax.Array,  # (L, B, KVH, S, hs) int8 — updated IN PLACE
+    k_scale: jax.Array,  # (L, B, KVH, S) f32 — updated IN PLACE
+    v8: jax.Array,
+    v_scale: jax.Array,
+    cos_il: jax.Array,  # (B, hs) f32 — step RoPE table, pair-DUPLICATED
+    sin_il: jax.Array,
+    layer,
+    pos,
+    *,
+    n_heads: int,
+    scale: float | None = None,
+    block_s: int = 1024,
+    interpret: bool | None = None,
+):
+    """T=1 decode attention that fuses the whole attention block's glue:
+    RoPE (q and k), per-row K/V INT8 quantization, the RMW cache append,
+    and the online-softmax read — one launch consuming the fused-QKV
+    launch's raw output. ``cos_il/sin_il`` are this step's per-slot rope
+    rows with each pair's value duplicated onto both lanes
+    (``jnp.repeat(cos, 2, -1)``), shared by every layer.
+
+    Returns ``(att (B, H, hs), k8, k_scale, v8, v_scale)`` with the caches
+    updated in place — treat the inputs as consumed, scan-carry style.
+    """
+    B, rows, hs = qkv.shape
+    KVH = k8.shape[2]
+    if rows != n_heads + 2 * KVH:
+        raise ValueError(
+            f"qkv rows {rows} != n_heads {n_heads} + 2*KVH {2 * KVH}"
+        )
+    if interpret is None:
+        interpret = interpret_default()
+    if not interpret and hs % 128 != 0:
+        raise ValueError(f"fused q8 decode requires head_size % 128 == 0 (got {hs})")
+    S = k8.shape[3]
+    if S % 128 != 0:
+        raise ValueError(f"fused q8 decode requires seq_len % 128 == 0 (got {S})")
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    lane = 128
+    cap = min(block_s, max(256, S // 8), S)
+    bs = lane
+    k = 1
+    while True:
+        cand = lane * k
+        if cand > cap:
+            break
+        if S % cand == 0:
+            bs = cand
+        k += 1
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
+    return _flash_decode_q8_fused(
+        qkv, k8, k_scale, v8, v_scale, cos_il, sin_il, layer_vec, pos_vec,
+        n_heads, float(scale), bs, interpret,
+    )
 
 
 def flash_decode_attention_q8(

@@ -114,3 +114,113 @@ def test_q8_block_picker_awkward_seq_lens(S):
     got = flash_decode_attention_q8(q, k8, ks, v8, vs, S - 1)
     want = ops.attention(q, dequantize_kv(k8, ks), dequantize_kv(v8, vs), S - 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_q8_fused_attention_block_vs_stacked():
+    """The glue-fused kernel (RoPE + quantize + append + attend in one
+    launch, ops/pallas/attention_q8.py::flash_decode_attention_q8_fused)
+    must reproduce the composed path: XLA apply_rope + quantize_kv_rows +
+    flash_decode_attention_q8_stacked."""
+    from llama2_tpu.ops.pallas.attention_q8 import (
+        flash_decode_attention_q8_fused,
+        flash_decode_attention_q8_stacked,
+    )
+
+    L, B, KVH, S, hs, H = 3, 2, 2, 256, 128, 4
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray([37, 130], jnp.int32)
+    layer = 1
+    k8, ks = quantize_kv_rows(
+        jnp.asarray(rng.standard_normal((L, B, KVH, S, hs), np.float32))
+    )
+    v8, vs = quantize_kv_rows(
+        jnp.asarray(rng.standard_normal((L, B, KVH, S, hs), np.float32))
+    )
+    qkv = jnp.asarray(
+        rng.standard_normal((B, H + 2 * KVH, hs), np.float32)
+    )
+
+    cos, sin = ops.rope_angles(pos[:, None], hs)  # (B, 1, hs/2)
+    q = ops.apply_rope(qkv[:, :H][:, None], cos, sin)[:, 0]
+    kn = ops.apply_rope(qkv[:, H : H + KVH][:, None], cos, sin)[:, 0]
+    k8n, ksn = quantize_kv_rows(kn[:, :, None, :])
+    v8n, vsn = quantize_kv_rows(qkv[:, H + KVH :][:, :, None, :])
+    att_ref, k8r, ksr, v8r, vsr = flash_decode_attention_q8_stacked(
+        q, k8, ks, v8, vs, k8n, ksn, v8n, vsn, layer, pos, interpret=True
+    )
+
+    att_f, k8f, ksf, v8f, vsf = flash_decode_attention_q8_fused(
+        qkv, jnp.array(k8), jnp.array(ks), jnp.array(v8), jnp.array(vs),
+        jnp.repeat(cos[:, 0], 2, -1), jnp.repeat(sin[:, 0], 2, -1),
+        layer, pos, n_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(att_f), np.asarray(att_ref), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(k8f), np.asarray(k8r))
+    np.testing.assert_array_equal(np.asarray(v8f), np.asarray(v8r))
+    # appended scales may differ by an ULP (XLA fuses rope mul-adds
+    # differently inside vs outside the kernel graph)
+    np.testing.assert_allclose(
+        np.asarray(ksf), np.asarray(ksr), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vsf), np.asarray(vsr), rtol=1e-6
+    )
+
+
+def test_q8_fused_model_path_token_parity(monkeypatch):
+    """backend=pallas + int8 KV decode must emit the same tokens whether the
+    glue-fused attention block engages or the composed stacked path runs."""
+    import llama2_tpu.models.llama as M
+    from llama2_tpu.config import ModelConfig
+    from llama2_tpu.quant.q8 import quantize_params
+
+    cfg = ModelConfig(
+        dim=64, hidden_dim=172, n_layers=3, n_heads=4, n_kv_heads=2,
+        vocab_size=256, seq_len=128, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(0)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.1
+
+    L, D, HD, V, KV = 3, 64, 172, 256, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = M.fuse_layer_params(quantize_params(params, group_size=16), "pallas")
+
+    def decode(use_fused):
+        orig = M._layer_decode_stacked
+        if not use_fused:
+
+            def patched(x, lp, caches, idx, pos, cos, sin, config,
+                        precision, backend, qi, cos_il=None, sin_il=None):
+                return orig(x, lp, caches, idx, pos, cos, sin, config,
+                            precision, backend, qi, None, None)
+
+            monkeypatch.setattr(M, "_layer_decode_stacked", patched)
+        try:
+            cache = M.init_cache(cfg, 2, kv_quant=True)
+            toks = jnp.asarray([[5], [9]], jnp.int32)
+            pos = jnp.asarray([0, 0], jnp.int32)
+            out = []
+            for _ in range(10):
+                hidden, cache = M.forward(
+                    qp, cache, toks, pos, cfg, backend="pallas"
+                )
+                logits = M.logits_from_hidden(
+                    qp, hidden[:, -1, :], backend="pallas"
+                )
+                toks = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+                pos = pos + 1
+                out.append(np.asarray(toks[:, 0]).copy())
+        finally:
+            monkeypatch.setattr(M, "_layer_decode_stacked", orig)
+        return np.stack(out)
+
+    np.testing.assert_array_equal(decode(True), decode(False))
