@@ -76,6 +76,23 @@ def paged_forward_step(
 
     kv_quant = ks_pool is not None
 
+    # Pair-duplicated step rope rows for the glue-fused attention kernel —
+    # one repeat per STEP (outside the layer scan; every layer shares the
+    # step's positions). See llama.forward's T=1 branch.
+    from llama2_tpu.ops.pallas.common import interpret_default
+
+    cos_il = sin_il = None
+    if (
+        backend == "pallas"
+        and kv_quant
+        and stacked
+        and hs_c == hs_real
+        and (hs_real % 128 == 0 or interpret_default())
+        and k_pool.shape[3] % 128 == 0
+    ):
+        cos_il = jnp.repeat(cos.reshape(B, -1), 2, axis=-1)
+        sin_il = jnp.repeat(sin.reshape(B, -1), 2, axis=-1)
+
     def body(carry, xs):
         # pools ride the CARRY un-sliced (the xs/ys form cost a full pool
         # read + rebuild per decode step — the round-1 paged engine ran at
@@ -96,6 +113,54 @@ def paged_forward_step(
             and isinstance(lp.get("wqkv"), QuantTensor)
             and lp["wqkv"].q.ndim == 3
         )
+        if fuse_glue and cos_il is not None:
+            # fully-fused attention block: qkv launch → fused attention
+            # launch (RoPE + quantize + append + table-chase in-kernel) —
+            # see paged_attention.paged_decode_attention_q8_fused
+            from llama2_tpu.ops.pallas.paged_attention import (
+                paged_decode_attention_q8_fused,
+            )
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            qkv = quant_matmul_stacked(
+                x, lp["wqkv"], li, rms_w=lp["rms_att"], eps=config.norm_eps
+            )  # (B, 1, D + 2*KV) — pre-rope
+            att, k_pool, ks_pool, v_pool, vs_pool = (
+                paged_decode_attention_q8_fused(
+                    qkv[:, 0].reshape(B, H + 2 * KVH, hs_real),
+                    k_pool, ks_pool, v_pool, vs_pool, table,
+                    cos_il, sin_il, page_ids, row_ids, idx, pos,
+                    n_heads=H, scale=1.0 / (hs_real**0.5),
+                )
+            )
+            att = att.reshape(B, 1, config.dim)
+            if isinstance(lp["wo"], QuantTensor):
+                x = quant_matmul_stacked(att, lp["wo"], li, residual=x)
+            else:
+                x = x + linear(att, lp["wo"], precision, backend, li)
+            from llama2_tpu.models.llama import use_mlp_block
+
+            if use_mlp_block(lp, backend):
+                from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
+
+                x = mlp_block_stacked(
+                    x, lp["rms_ffn"], lp["w1"], lp["w3"], lp["w2"], li,
+                    config.norm_eps,
+                )
+            else:
+                xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
+                if "w13" in lp:
+                    HD = lp["w13"].shape[-1] // 2
+                    h13 = linear(xb, lp["w13"], precision, backend, li)
+                    h1, h3 = h13[..., :HD], h13[..., HD:]
+                else:
+                    h1 = linear(xb, lp["w1"], precision, backend, li)
+                    h3 = linear(xb, lp["w3"], precision, backend, li)
+                x = x + linear(
+                    ops.swiglu(h1, h3), lp["w2"], precision, backend, li
+                )
+            return (x, k_pool, ks_pool, v_pool, vs_pool), None
+
         if fuse_glue:
             # rmsnorm fused into the qkv launch (see llama._layer_decode_stacked)
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked

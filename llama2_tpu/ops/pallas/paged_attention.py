@@ -447,57 +447,31 @@ def _kernel_stacked_q8(
     wpage = wpage_ref[b]
     wrow = wrow_ref[b]
 
-    # ---- RMW appends (aligned windows at the write coordinates) ----
-    a8 = (wrow // 8) * 8
-    off8 = wrow - a8
-    a128 = (wrow // 128) * 128
-    off128 = wrow - a128
-    reads = (
-        pltpu.make_async_copy(
-            k_out.at[layer, wpage, :, pl.ds(a8, 8), :], kwin, sems.at[0, 4]
-        ),
-        pltpu.make_async_copy(
-            v_out.at[layer, wpage, :, pl.ds(a8, 8), :], vwin, sems.at[1, 4]
-        ),
-        pltpu.make_async_copy(
-            ks_out.at[layer, wpage, :, pl.ds(a128, 128)], kswin, sems.at[0, 5]
-        ),
-        pltpu.make_async_copy(
-            vs_out.at[layer, wpage, :, pl.ds(a128, 128)], vswin, sems.at[1, 5]
-        ),
-    )
-    for r in reads:
-        r.start()
-    for r in reads:
-        r.wait()
-    KVH = kwin.shape[0]
-    hs = kwin.shape[2]
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (KVH, 8, hs), 1)
-    kwin[:] = jnp.where(row8 == off8, knew_ref[0, :, 0:1, :], kwin[:])
-    vwin[:] = jnp.where(row8 == off8, vnew_ref[0, :, 0:1, :], vwin[:])
-    lane = jax.lax.broadcasted_iota(jnp.int32, (KVH, 128), 1)
-    kswin[:] = jnp.where(lane == off128, ksnew_ref[0], kswin[:])
-    vswin[:] = jnp.where(lane == off128, vsnew_ref[0], vswin[:])
-    writes = (
-        pltpu.make_async_copy(
-            kwin, k_out.at[layer, wpage, :, pl.ds(a8, 8), :], sems.at[0, 4]
-        ),
-        pltpu.make_async_copy(
-            vwin, v_out.at[layer, wpage, :, pl.ds(a8, 8), :], sems.at[1, 4]
-        ),
-        pltpu.make_async_copy(
-            kswin, ks_out.at[layer, wpage, :, pl.ds(a128, 128)], sems.at[0, 5]
-        ),
-        pltpu.make_async_copy(
-            vswin, vs_out.at[layer, wpage, :, pl.ds(a128, 128)], sems.at[1, 5]
-        ),
-    )
-    for w in writes:
-        w.start()
-    for w in writes:
-        w.wait()
+    from llama2_tpu.ops.pallas.attention_q8 import _append_rmw
 
-    # ---- table-chasing online-softmax loop ----
+    # same aligned-window RMW as the dense stacked kernel, addressed at the
+    # write coordinates: pools index as [layer, PAGE, kvh, ROW-in-page, hs]
+    _append_rmw(
+        layer, wpage, wrow,
+        knew_ref[0, :, 0:1, :], ksnew_ref[0], vnew_ref[0, :, 0:1, :],
+        vsnew_ref[0],
+        k_out, ks_out, v_out, vs_out, kwin, vwin, kswin, vswin, sems,
+    )
+    o_ref[0] = _attend_pages_q8(
+        layer, b, pos, n_pages, q_ref[0].astype(jnp.bfloat16), table_ref,
+        k_out, ks_out, v_out, vs_out, k_buf, ks_buf, v_buf, vs_buf, sems,
+        page=page, scale=scale,
+    ).astype(o_ref.dtype)
+
+
+def _attend_pages_q8(
+    layer, b, pos, n_pages, q, table_ref,
+    k_out, ks_out, v_out, vs_out, k_buf, ks_buf, v_buf, vs_buf, sems,
+    *, page: int, scale: float,
+):
+    """Double-buffered table-chasing online-softmax loop over row ``b``'s
+    int8 pages. ``q``: (KVH, G, hs) bf16 values. Returns (KVH, G, hs) f32."""
+
     def k_dma(slot, i):
         return pltpu.make_async_copy(
             k_out.at[layer, table_ref[b, i]], k_buf.at[slot], sems.at[slot, 0]
@@ -523,7 +497,6 @@ def _kernel_stacked_q8(
     for d in (k_dma, ks_dma, v_dma, vs_dma):
         d(0, 0).start()
 
-    q = q_ref[0].astype(jnp.bfloat16)  # (KVH, G, hs)
     KVH, G, hs = q.shape
 
     def body(i, carry):
@@ -567,7 +540,7 @@ def _kernel_stacked_q8(
     l0 = jnp.zeros((KVH, G, 1), jnp.float32)
     acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    return acc / l
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"), inline=True)
@@ -700,6 +673,200 @@ def paged_decode_attention_q8_stacked(
     )
     return (
         (out[:, None] if squeeze else out), k_pool, ks_pool, v_pool, vs_pool
+    )
+
+
+def _kernel_stacked_q8_fused(
+    pos_ref,  # (B,) int32
+    table_ref,  # (B, max_pages) int32
+    wpage_ref,  # (B,) int32
+    wrow_ref,  # (B,) int32
+    layer_ref,  # (1,) int32
+    qkv_ref,  # (1, H + 2*KVH, hs) f32 VMEM — PRE-rope QKV rows
+    cos_ref,  # (1, hs) f32 VMEM — interleaved-duplicated step table
+    sin_ref,
+    k_hbm_in,  # aliased pools
+    ks_hbm_in,
+    v_hbm_in,
+    vs_hbm_in,
+    o_ref,  # (1, KVH, G, hs) VMEM
+    k_out,
+    ks_out,
+    v_out,
+    vs_out,
+    k_buf,
+    ks_buf,
+    v_buf,
+    vs_buf,
+    kwin,
+    vwin,
+    kswin,
+    vswin,
+    sems,
+    *,
+    page: int,
+    scale: float,
+    n_q_heads: int,
+):
+    """:func:`_kernel_stacked_q8` with the inter-launch XLA glue pulled into
+    the kernel prologue (the paged twin of
+    attention_q8._kernel_stacked_fused): RoPE on q/k and per-row K/V
+    quantization run on the VPU on the raw fused-QKV launch output, then the
+    RMW append at the write coordinates and the table-chasing read."""
+    from llama2_tpu.ops.pallas.attention_q8 import (
+        _append_rmw,
+        _quantize_rows,
+        _rope_interleaved,
+    )
+
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    pos = pos_ref[b]
+    n_pages = jax.lax.div(pos, page) + 1
+    H = n_q_heads
+    KVH = kwin.shape[0]
+    hs = kwin.shape[2]
+
+    qkv = qkv_ref[0]  # (H + 2*KVH, hs) f32
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    q = _rope_interleaved(qkv[:H], cos, sin)
+    k = _rope_interleaved(qkv[H : H + KVH], cos, sin)
+    v = qkv[H + KVH :]
+    k8, k_sc = _quantize_rows(k)
+    v8, v_sc = _quantize_rows(v)
+
+    _append_rmw(
+        layer, wpage_ref[b], wrow_ref[b], k8, k_sc, v8, v_sc,
+        k_out, ks_out, v_out, vs_out, kwin, vwin, kswin, vswin, sems,
+    )
+    o_ref[0] = _attend_pages_q8(
+        layer, b, pos, n_pages,
+        q.reshape(KVH, H // KVH, hs).astype(jnp.bfloat16), table_ref,
+        k_out, ks_out, v_out, vs_out, k_buf, ks_buf, v_buf, vs_buf, sems,
+        page=page, scale=scale,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "scale", "interpret"), inline=True
+)
+def _paged_decode_q8_fused(
+    qkv, k_pool, ks_pool, v_pool, vs_pool, table, cos_il, sin_il,
+    wpage, wrow, layer, pos,
+    n_heads: int, scale: float, interpret: bool,
+):
+    B = qkv.shape[0]
+    L, P, KVH, page, hs = k_pool.shape
+    H = n_heads
+    G = H // KVH
+
+    def vmem_spec(shape):
+        nd = len(shape)
+
+        def imap(b, *refs, nd=nd):
+            return (b,) + (0,) * (nd - 1)
+
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # pos, table, wpage, wrow, layer
+        grid=(B,),
+        in_specs=[
+            vmem_spec((1, H + 2 * KVH, hs)),  # qkv
+            vmem_spec((1, hs)),  # cos_il
+            vmem_spec((1, hs)),  # sin_il
+            hbm_spec, hbm_spec, hbm_spec, hbm_spec,  # pools (aliased)
+        ],
+        out_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec, hbm_spec, hbm_spec, hbm_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KVH, page, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, page), jnp.float32),
+            pltpu.VMEM((2, KVH, page, hs), jnp.int8),
+            pltpu.VMEM((2, KVH, page), jnp.float32),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 8, hs), jnp.int8),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.VMEM((KVH, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    # operands: 0=pos 1=table 2=wpage 3=wrow 4=layer 5=qkv 6=cos 7=sin
+    #           8=k8 9=ks 10=v8 11=vs
+    out, k_pool, ks_pool, v_pool, vs_pool = pl.pallas_call(
+        functools.partial(
+            _kernel_stacked_q8_fused, page=page, scale=scale, n_q_heads=H
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, G, hs), qkv.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(ks_pool.shape, ks_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(vs_pool.shape, vs_pool.dtype),
+        ],
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        interpret=interpret,
+    )(
+        pos, table, wpage, wrow, layer, qkv, cos_il, sin_il,
+        k_pool, ks_pool, v_pool, vs_pool,
+    )
+    return out.reshape(B, H, hs), k_pool, ks_pool, v_pool, vs_pool
+
+
+def paged_decode_attention_q8_fused(
+    qkv: jax.Array,  # (B, H+2*KVH, hs) f32 — raw fused-QKV output, PRE-rope
+    k_pool: jax.Array,  # (L, P, KVH, page, hs) int8 — updated IN PLACE
+    ks_pool: jax.Array,
+    v_pool: jax.Array,
+    vs_pool: jax.Array,
+    table: jax.Array,  # (B, max_pages) int32
+    cos_il: jax.Array,  # (B, hs) f32 — step RoPE rows, pair-DUPLICATED
+    sin_il: jax.Array,
+    write_page: jax.Array,  # (B,) int32
+    write_row: jax.Array,  # (B,) int32
+    layer,
+    pos,
+    *,
+    n_heads: int,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Glue-fused INT8 paged decode attention: RoPE (q and k), per-row K/V
+    quantization, the RMW append at ``(write_page, write_row)``, and the
+    table-chasing online-softmax read in ONE launch, consuming the fused-QKV
+    launch's raw output (the paged twin of
+    attention_q8.flash_decode_attention_q8_fused).
+
+    Returns ``(att (B, H, hs), k_pool, ks_pool, v_pool, vs_pool)`` with the
+    pools updated in place — treat the inputs as consumed, scan-carry style.
+    """
+    B, rows, hs = qkv.shape
+    KVH = k_pool.shape[2]
+    if rows != n_heads + 2 * KVH:
+        raise ValueError(
+            f"qkv rows {rows} != n_heads {n_heads} + 2*KVH {2 * KVH}"
+        )
+    if interpret is None:
+        interpret = interpret_default()
+    if not interpret and hs % 128 != 0:
+        raise ValueError(f"paged q8 decode requires head_size % 128 == 0 (got {hs})")
+    page = k_pool.shape[3]
+    if page % 128 != 0:
+        raise ValueError(f"paged q8 decode requires page_size % 128 == 0 (got {page})")
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    return _paged_decode_q8_fused(
+        qkv, k_pool, ks_pool, v_pool, vs_pool, table, cos_il, sin_il,
+        jnp.asarray(write_page, jnp.int32).reshape(-1),
+        jnp.asarray(write_row, jnp.int32).reshape(-1),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos, n_heads, float(scale), interpret,
     )
 
 

@@ -234,3 +234,110 @@ def test_pagepool_q8_memory_shapes():
     assert q8.k.dtype == jnp.int8
     assert q8.ks.shape == q8.k.shape[:-1]
     assert q8.k.nbytes * 4 == fp.k.nbytes
+
+
+def test_paged_q8_fused_vs_composed():
+    """The glue-fused paged kernel (RoPE + quantize + append + table-chase,
+    paged_attention.paged_decode_attention_q8_fused) must reproduce the
+    composed path: XLA apply_rope + quantize_kv_rows +
+    paged_decode_attention_q8_stacked."""
+    from llama2_tpu.ops import xla as xops
+    from llama2_tpu.ops.pallas.attention_q8 import quantize_kv_rows
+    from llama2_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_q8_fused,
+        paged_decode_attention_q8_stacked,
+    )
+
+    L, P, KVH, page, hs = 2, 4, 2, 128, 128
+    B, H = 2, 4
+    rng = np.random.default_rng(5)
+    k8, ks = quantize_kv_rows(
+        jnp.asarray(rng.standard_normal((L, P, KVH, page, hs), np.float32))
+    )
+    v8, vs = quantize_kv_rows(
+        jnp.asarray(rng.standard_normal((L, P, KVH, page, hs), np.float32))
+    )
+    tables = np.stack(
+        [rng.permutation(P)[:2] for _ in range(B)]
+    ).astype(np.int32)
+    positions = np.asarray([page + 2, 40], np.int32)
+    wpage = tables[np.arange(B), positions // page]
+    wrow = positions % page
+    qkv = jnp.asarray(
+        rng.standard_normal((B, H + 2 * KVH, hs), np.float32)
+    )
+
+    cos, sin = xops.rope_angles(jnp.asarray(positions)[:, None], hs)
+    q = xops.apply_rope(qkv[:, :H][:, None], cos, sin)[:, 0]
+    kn = xops.apply_rope(qkv[:, H : H + KVH][:, None], cos, sin)[:, 0]
+    k8n, ksn = quantize_kv_rows(kn[:, :, None, :])
+    v8n, vsn = quantize_kv_rows(qkv[:, H + KVH :][:, :, None, :])
+    layer = 1
+    att_ref, k8r, ksr, v8r, vsr = paged_decode_attention_q8_stacked(
+        q, jnp.array(k8), jnp.array(ks), jnp.array(v8), jnp.array(vs),
+        jnp.asarray(tables), k8n, ksn, v8n, vsn,
+        jnp.asarray(wpage), jnp.asarray(wrow), layer,
+        jnp.asarray(positions),
+    )
+
+    att_f, k8f, ksf, v8f, vsf = paged_decode_attention_q8_fused(
+        qkv, jnp.array(k8), jnp.array(ks), jnp.array(v8), jnp.array(vs),
+        jnp.asarray(tables),
+        jnp.repeat(cos[:, 0], 2, -1), jnp.repeat(sin[:, 0], 2, -1),
+        jnp.asarray(wpage), jnp.asarray(wrow), layer,
+        jnp.asarray(positions), n_heads=H,
+    )
+    np.testing.assert_allclose(
+        np.asarray(att_f), np.asarray(att_ref[:, 0] if att_ref.ndim == 4 else att_ref),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(k8f), np.asarray(k8r))
+    np.testing.assert_array_equal(np.asarray(v8f), np.asarray(v8r))
+    np.testing.assert_allclose(np.asarray(ksf), np.asarray(ksr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vsf), np.asarray(vsr), rtol=1e-6)
+
+
+def test_paged_engine_q8_fused_page128_matches_dense_engine():
+    """A paged INT8 engine with page_size=128 (the glue-fused kernel's
+    compiled-path gate) emits the same streams as the dense engine."""
+    from llama2_tpu.config import GenerationConfig, ModelConfig
+    from llama2_tpu.models.llama import fuse_layer_params
+    from llama2_tpu.quant.q8 import quantize_params
+    from llama2_tpu.runtime.batch_engine import BatchEngine
+    from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+    cfg = ModelConfig(
+        dim=64, hidden_dim=172, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=256, seq_len=256, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(7)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.1
+
+    L, D, HD, V, KV = 2, 64, 172, 256, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = quantize_params(params, group_size=16)
+    gen = GenerationConfig(temperature=0.0, steps=20)
+    prompts = [[5, 7, 9], [3, 4], [11]]
+
+    def serve(engine):
+        qs = [engine.submit(p, gen) for p in prompts]
+        engine.run_until_idle()
+        return [q.get(timeout=300).tokens for q in qs]
+
+    dense = serve(
+        BatchEngine(cfg, qp, batch_size=2, backend="pallas", kv_quant=True)
+    )
+    paged = serve(
+        PagedBatchEngine(
+            cfg, qp, batch_size=2, page_size=128, n_pages=8,
+            backend="pallas", kv_quant=True,
+        )
+    )
+    assert paged == dense
