@@ -263,15 +263,11 @@ def _layer_decode_stacked(
 
     if (
         fuse_glue
-        and kv_quant
         and cos_il is not None
         and (hs % 128 == 0 or interpret_default())
         and k_cache.shape[-1] == hs
-        and k_cache.shape[3] % 128 == 0
+        and (k_cache.shape[3] % 128 == 0 or not kv_quant)
     ):
-        from llama2_tpu.ops.pallas.attention_q8 import (
-            flash_decode_attention_q8_fused,
-        )
         from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
         qkv = quant_matmul_stacked(
@@ -279,14 +275,28 @@ def _layer_decode_stacked(
             rms_w=layer_params["rms_att"], eps=config.norm_eps,
         )  # (B, 1, D + 2*KV) — pre-rope
         pvec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
-        att, k_cache, ks_cache, v_cache, vs_cache = (
-            flash_decode_attention_q8_fused(
-                qkv[:, 0].reshape(B, H + 2 * KVH, hs),
-                k_cache, ks_cache, v_cache, vs_cache,
-                cos_il, sin_il, layer_idx, pvec,
+        qkv3 = qkv[:, 0].reshape(B, H + 2 * KVH, hs)
+        if kv_quant:
+            from llama2_tpu.ops.pallas.attention_q8 import (
+                flash_decode_attention_q8_fused,
+            )
+
+            att, k_cache, ks_cache, v_cache, vs_cache = (
+                flash_decode_attention_q8_fused(
+                    qkv3, k_cache, ks_cache, v_cache, vs_cache,
+                    cos_il, sin_il, layer_idx, pvec,
+                    n_heads=H, scale=1.0 / (hs**0.5),
+                )
+            )
+        else:
+            from llama2_tpu.ops.pallas.attention import (
+                flash_decode_attention_fused,
+            )
+
+            att, k_cache, v_cache = flash_decode_attention_fused(
+                qkv3, k_cache, v_cache, cos_il, sin_il, layer_idx, pvec,
                 n_heads=H, scale=1.0 / (hs**0.5),
             )
-        )
         att = att.reshape(B, T, D)
         if isinstance(layer_params["wo"], QuantTensor):
             x = quant_matmul_stacked(
@@ -315,7 +325,9 @@ def _layer_decode_stacked(
                 ops.swiglu(h1, h3), layer_params["w2"], precision, backend,
                 quant_idx,
             )
-        return x, (k_cache, ks_cache, v_cache, vs_cache)
+        if kv_quant:
+            return x, (k_cache, ks_cache, v_cache, vs_cache)
+        return x, (k_cache, v_cache)
 
     if fuse_glue:
         # rmsnorm fused into the qkv launch (quant_matmul prologue) — the
@@ -601,7 +613,7 @@ def forward(
         # — computed ONCE per step here (outside the layer scan, every layer
         # shares the step's positions) when the fused path can engage.
         cos_il = sin_il = None
-        if backend == "pallas" and kv_quant and stacked:
+        if backend == "pallas" and stacked:
             B = tokens.shape[0]
             cos_il = jnp.repeat(cos.reshape(-1, cos.shape[-1]), 2, axis=-1)
             sin_il = jnp.repeat(sin.reshape(-1, sin.shape[-1]), 2, axis=-1)

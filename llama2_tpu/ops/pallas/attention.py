@@ -201,6 +201,19 @@ def _kernel_stacked(
     ak.wait()
     av.wait()
 
+    o_ref[0] = _attend_blocks_f32(
+        layer, b, pos, n_blocks, q_ref[0].astype(jnp.float32) * scale,
+        k_out, v_out, k_buf, v_buf, sems, block_s=block_s,
+    ).astype(o_ref.dtype)
+
+
+def _attend_blocks_f32(
+    layer, b, pos, n_blocks, q, k_out, v_out, k_buf, v_buf, sems,
+    *, block_s: int,
+):
+    """Double-buffered online-softmax loop over (layer, b)'s fp KV blocks.
+    ``q``: (KVH, G, hs) f32 values, PRE-scaled. Returns (KVH, G, hs) f32."""
+
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
             k_out.at[layer, b, :, pl.ds(blk * block_s, block_s), :],
@@ -218,7 +231,6 @@ def _kernel_stacked(
     k_dma(0, 0).start()
     v_dma(0, 0).start()
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (KVH, G, hs)
     KVH, G, hs = q.shape
 
     def body(i, carry):
@@ -262,7 +274,7 @@ def _kernel_stacked(
     l0 = jnp.zeros((KVH, G, 1), jnp.float32)
     acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    return acc / l
 
 
 @functools.partial(
@@ -371,6 +383,179 @@ def flash_decode_attention_stacked(
         float(scale), bs, interpret,
     )
     return (out[:, None] if squeeze else out), k_cache, v_cache
+
+
+def _kernel_stacked_fused(
+    pos_ref,  # (B,) int32
+    layer_ref,  # (1,) int32
+    qkv_ref,  # (1, H + 2*KVH, hs) VMEM — PRE-rope QKV rows
+    cos_ref,  # (1, hs) f32 VMEM — interleaved-duplicated step table
+    sin_ref,
+    k_hbm_in,  # aliased caches
+    v_hbm_in,
+    o_ref,  # (1, KVH, G, hs) VMEM
+    k_out,
+    v_out,
+    k_buf,
+    v_buf,
+    knew_s,  # (KVH, 1, hs) cache-dtype scratch — staged append row
+    vnew_s,
+    sems,
+    *,
+    block_s: int,
+    scale: float,
+    n_q_heads: int,
+):
+    """:func:`_kernel_stacked` with the inter-launch XLA glue pulled into
+    the kernel prologue (the fp-cache twin of
+    attention_q8._kernel_stacked_fused): RoPE on q/k runs on the VPU on the
+    raw fused-QKV launch output; the roped K row and V row stage through
+    VMEM scratch and append via the same single-row DMA."""
+    from llama2_tpu.ops.pallas.attention_q8 import _rope_interleaved
+
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    pos = pos_ref[b]
+    n_blocks = jax.lax.div(pos, block_s) + 1
+    H = n_q_heads
+    KVH = knew_s.shape[0]
+    hs = knew_s.shape[2]
+
+    qkv = qkv_ref[0].astype(jnp.float32)  # (H + 2*KVH, hs)
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    q = _rope_interleaved(qkv[:H], cos, sin)
+    knew_s[:] = _rope_interleaved(qkv[H : H + KVH], cos, sin)[
+        :, None, :
+    ].astype(knew_s.dtype)
+    vnew_s[:] = qkv[H + KVH :][:, None, :].astype(vnew_s.dtype)
+
+    ak = pltpu.make_async_copy(
+        knew_s, k_out.at[layer, b, :, pl.ds(pos, 1), :], sems.at[0, 2]
+    )
+    av = pltpu.make_async_copy(
+        vnew_s, v_out.at[layer, b, :, pl.ds(pos, 1), :], sems.at[1, 2]
+    )
+    ak.start()
+    av.start()
+    ak.wait()
+    av.wait()
+
+    o_ref[0] = _attend_blocks_f32(
+        layer, b, pos, n_blocks,
+        q.reshape(KVH, H // KVH, hs) * scale,
+        k_out, v_out, k_buf, v_buf, sems, block_s=block_s,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "scale", "block_s", "interpret"),
+    inline=True,
+)
+def _flash_decode_fused(
+    qkv, k_cache, v_cache, cos_il, sin_il, layer, pos,
+    n_heads: int, scale: float, block_s: int, interpret: bool,
+):
+    B = qkv.shape[0]
+    KVH, S, hs = k_cache.shape[2], k_cache.shape[3], k_cache.shape[4]
+    H = n_heads
+    G = H // KVH
+
+    def vmem_spec(shape):
+        nd = len(shape)
+
+        def imap(b, pos_ref, layer_ref, nd=nd):
+            return (b,) + (0,) * (nd - 1)
+
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # pos (B,), layer (1,)
+        grid=(B,),
+        in_specs=[
+            vmem_spec((1, H + 2 * KVH, hs)),  # qkv
+            vmem_spec((1, hs)),  # cos_il
+            vmem_spec((1, hs)),  # sin_il
+            pl.BlockSpec(memory_space=pltpu.ANY),  # K cache (aliased out)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # V cache (aliased out)
+        ],
+        out_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KVH, block_s, hs), k_cache.dtype),
+            pltpu.VMEM((2, KVH, block_s, hs), v_cache.dtype),
+            pltpu.VMEM((KVH, 1, hs), k_cache.dtype),
+            pltpu.VMEM((KVH, 1, hs), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    # global operand indices: 0=pos 1=layer 2=qkv 3=cos 4=sin 5=k 6=v
+    out, k_cache, v_cache = pl.pallas_call(
+        functools.partial(
+            _kernel_stacked_fused, block_s=block_s, scale=scale, n_q_heads=H
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, G, hs), qkv.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(pos, layer, qkv, cos_il, sin_il, k_cache, v_cache)
+    return out.reshape(B, H, hs), k_cache, v_cache
+
+
+def flash_decode_attention_fused(
+    qkv: jax.Array,  # (B, H+2*KVH, hs) — raw fused-QKV output, PRE-rope
+    k_cache: jax.Array,  # (L, B, KVH, S, hs) — updated IN PLACE
+    v_cache: jax.Array,
+    cos_il: jax.Array,  # (B, hs) f32 — step RoPE rows, pair-DUPLICATED
+    sin_il: jax.Array,
+    layer,
+    pos,
+    *,
+    n_heads: int,
+    scale: float | None = None,
+    block_s: int = 1024,
+    interpret: bool | None = None,
+):
+    """Glue-fused fp-cache decode attention: RoPE (q and k), the in-place
+    KV append, and the online-softmax read in ONE launch consuming the
+    fused-QKV launch's raw output (fp twin of
+    attention_q8.flash_decode_attention_q8_fused).
+
+    Returns ``(att (B, H, hs), k_cache, v_cache)`` with the caches updated
+    in place — treat the inputs as consumed, scan-carry style.
+    """
+    B, rows, hs = qkv.shape
+    KVH = k_cache.shape[2]
+    if rows != n_heads + 2 * KVH:
+        raise ValueError(
+            f"qkv rows {rows} != n_heads {n_heads} + 2*KVH {2 * KVH}"
+        )
+    if interpret is None:
+        interpret = interpret_default()
+    if not interpret and hs % 128 != 0:
+        raise ValueError(
+            f"fused flash decode requires head_size % 128 == 0 (got {hs})"
+        )
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    S = k_cache.shape[3]
+    bs = min(block_s, max(256, S // 4), S)
+    while S % bs != 0:
+        bs //= 2
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
+    return _flash_decode_fused(
+        qkv, k_cache, v_cache, cos_il, sin_il, layer_vec, pos_vec,
+        n_heads, float(scale), bs, interpret,
+    )
 
 
 def flash_decode_attention(

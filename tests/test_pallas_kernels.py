@@ -434,3 +434,111 @@ def test_quant_matmul_stacked_norm_prologue_and_residual():
             )
         )
         np.testing.assert_allclose(got_r, want, rtol=tol, atol=tol)
+
+
+def test_f32_fused_attention_block_vs_stacked():
+    """The fp-cache glue-fused kernel (RoPE + append + attend in one
+    launch, ops/pallas/attention.py::flash_decode_attention_fused) must
+    reproduce the composed path: XLA apply_rope +
+    flash_decode_attention_stacked."""
+    from llama2_tpu.ops import xla as xops
+    from llama2_tpu.ops.pallas.attention import (
+        flash_decode_attention_fused,
+        flash_decode_attention_stacked,
+    )
+
+    L, B, KVH, S, hs, H = 3, 2, 2, 256, 128, 4
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray([37, 130], jnp.int32)
+    layer = 1
+    k_cache = jnp.asarray(
+        rng.standard_normal((L, B, KVH, S, hs), np.float32)
+    )
+    v_cache = jnp.asarray(
+        rng.standard_normal((L, B, KVH, S, hs), np.float32)
+    )
+    qkv = jnp.asarray(
+        rng.standard_normal((B, H + 2 * KVH, hs), np.float32)
+    )
+
+    cos, sin = xops.rope_angles(pos[:, None], hs)
+    q = xops.apply_rope(qkv[:, :H][:, None], cos, sin)[:, 0]
+    kn = xops.apply_rope(qkv[:, H : H + KVH][:, None], cos, sin)[:, 0]
+    att_ref, kr, vr = flash_decode_attention_stacked(
+        q, jnp.array(k_cache), jnp.array(v_cache),
+        kn[:, :, None, :], qkv[:, H + KVH :][:, :, None, :],
+        layer, pos, interpret=True,
+    )
+    att_f, kf, vf = flash_decode_attention_fused(
+        qkv, jnp.array(k_cache), jnp.array(v_cache),
+        jnp.repeat(cos[:, 0], 2, -1), jnp.repeat(sin[:, 0], 2, -1),
+        layer, pos, n_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(att_f), np.asarray(att_ref), atol=1e-5
+    )
+    # appended rows may differ by an ULP (XLA fuses the rope mul-adds
+    # differently inside vs outside the kernel graph)
+    np.testing.assert_allclose(
+        np.asarray(kf), np.asarray(kr), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vf), np.asarray(vr), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_f32_fused_model_path_token_parity(monkeypatch):
+    """backend=pallas fp-cache decode must emit the same tokens whether the
+    glue-fused attention block engages or the composed path runs."""
+    import llama2_tpu.models.llama as M
+    from llama2_tpu.config import ModelConfig
+    from llama2_tpu.quant.q8 import quantize_params
+
+    cfg = ModelConfig(
+        dim=64, hidden_dim=172, n_layers=3, n_heads=4, n_kv_heads=2,
+        vocab_size=256, seq_len=128, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(3)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.1
+
+    L, D, HD, V, KV = 3, 64, 172, 256, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = M.fuse_layer_params(quantize_params(params, group_size=16), "pallas")
+
+    def decode(use_fused):
+        orig = M._layer_decode_stacked
+        if not use_fused:
+
+            def patched(x, lp, caches, idx, pos, cos, sin, config,
+                        precision, backend, qi, cos_il=None, sin_il=None):
+                return orig(x, lp, caches, idx, pos, cos, sin, config,
+                            precision, backend, qi, None, None)
+
+            monkeypatch.setattr(M, "_layer_decode_stacked", patched)
+        try:
+            cache = M.init_cache(cfg, 2)  # fp32 KV
+            toks = jnp.asarray([[5], [9]], jnp.int32)
+            pos = jnp.asarray([0, 0], jnp.int32)
+            out = []
+            for _ in range(10):
+                hidden, cache = M.forward(
+                    qp, cache, toks, pos, cfg, backend="pallas"
+                )
+                logits = M.logits_from_hidden(
+                    qp, hidden[:, -1, :], backend="pallas"
+                )
+                toks = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+                pos = pos + 1
+                out.append(np.asarray(toks[:, 0]).copy())
+        finally:
+            monkeypatch.setattr(M, "_layer_decode_stacked", orig)
+        return np.stack(out)
+
+    np.testing.assert_array_equal(decode(True), decode(False))
