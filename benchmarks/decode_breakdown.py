@@ -216,7 +216,8 @@ def main(argv=None) -> int:
         return out[..., 0, :D] + x, cache
 
     # attention + in-kernel KV append (quantize_kv_rows included: the model
-    # path runs it between the qkv and attention launches)
+    # path ran it between the qkv and attention launches before the fused
+    # kernel existed — kept as the composed-path comparison row)
     def attn_fn(p, x, l, pos, cache):
         hs_c = cache["k"].shape[-1]  # lane-padded head size, like the model
         q = x.reshape(B, config.n_heads, hs)
@@ -232,6 +233,31 @@ def main(argv=None) -> int:
         )
         cache = {"k": k, "k_scale": ksc, "v": v, "v_scale": vsc}
         return att[..., :hs].reshape(B, -1)[:, :D], cache
+
+    # glue-FUSED attention block (what the model path now runs): the kernel
+    # takes the raw qkv row and does rope + quantize + append + attend
+    # itself (ops/pallas/attention_q8.flash_decode_attention_q8_fused)
+    def attn_fused_fn(p, x, l, pos, cache):
+        from llama2_tpu.ops.pallas.attention_q8 import (
+            flash_decode_attention_q8_fused,
+        )
+        from llama2_tpu.ops.xla import rope_angles
+
+        H = config.n_heads
+        rows = H + 2 * KVH
+        reps = -(-(rows * hs) // D)
+        qkv3 = jnp.tile(x, (1, reps))[:, : rows * hs].reshape(B, rows, hs)
+        pvec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+        cos, sin = rope_angles(pvec[:, None], hs)
+        cos_il = jnp.repeat(cos.reshape(B, -1), 2, -1)
+        sin_il = jnp.repeat(sin.reshape(B, -1), 2, -1)
+        att, k, ksc, v, vsc = flash_decode_attention_q8_fused(
+            qkv3, cache["k"], cache["k_scale"], cache["v"],
+            cache["v_scale"], cos_il, sin_il, l, pos,
+            n_heads=H, scale=1.0 / hs**0.5,
+        )
+        cache = {"k": k, "k_scale": ksc, "v": v, "v_scale": vsc}
+        return att.reshape(B, -1)[:, :D], cache
 
     # wo launch (residual epilogue fused)
     def wo_fn(p, x, l, pos, cache):
@@ -296,7 +322,11 @@ def main(argv=None) -> int:
     dt_qkv = _diff_timed(layer_loop_stage(qkv_fn), K)
     report("  qkv launch (norm fused)", dt_qkv, w_qkv)
     dt_attn = _diff_timed(layer_loop_stage(attn_fn, carry_caches=True), K)
-    report("  attention+append (int8 KV)", dt_attn, kv_read)
+    report("  attention+append (composed)", dt_attn, kv_read)
+    dt_attn_f = _diff_timed(
+        layer_loop_stage(attn_fused_fn, carry_caches=True), K
+    )
+    report("  attention block (glue-fused)", dt_attn_f, kv_read)
     dt_wo = _diff_timed(layer_loop_stage(wo_fn), K)
     report("  wo launch (residual fused)", dt_wo, w_o)
     dt_ffn = _diff_timed(layer_loop_stage(ffn_fn), K)
@@ -306,7 +336,7 @@ def main(argv=None) -> int:
     dt_log = _diff_timed(logits_stage(), K)
     report("  logits+argmax", dt_log, w_cls)
 
-    glue = dt_tick - (dt_qkv + dt_attn + dt_wo + dt_ffn + dt_log)
+    glue = dt_tick - (dt_qkv + dt_attn_f + dt_wo + dt_ffn + dt_log)
     print(f"{'  residual (XLA glue/dispatch)':34s} {glue * 1e3:8.3f} ms/step")
     return 0
 

@@ -84,11 +84,10 @@ def paged_forward_step(
     cos_il = sin_il = None
     if (
         backend == "pallas"
-        and kv_quant
         and stacked
         and hs_c == hs_real
         and (hs_real % 128 == 0 or interpret_default())
-        and k_pool.shape[3] % 128 == 0
+        and (k_pool.shape[3] % 128 == 0 or not kv_quant)
     ):
         cos_il = jnp.repeat(cos.reshape(B, -1), 2, axis=-1)
         sin_il = jnp.repeat(sin.reshape(B, -1), 2, axis=-1)
@@ -115,24 +114,36 @@ def paged_forward_step(
         )
         if fuse_glue and cos_il is not None:
             # fully-fused attention block: qkv launch → fused attention
-            # launch (RoPE + quantize + append + table-chase in-kernel) —
-            # see paged_attention.paged_decode_attention_q8_fused
-            from llama2_tpu.ops.pallas.paged_attention import (
-                paged_decode_attention_q8_fused,
-            )
+            # launch (RoPE + [quantize +] append + table-chase in-kernel) —
+            # see paged_attention.paged_decode_attention[_q8]_fused
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
             qkv = quant_matmul_stacked(
                 x, lp["wqkv"], li, rms_w=lp["rms_att"], eps=config.norm_eps
             )  # (B, 1, D + 2*KV) — pre-rope
-            att, k_pool, ks_pool, v_pool, vs_pool = (
-                paged_decode_attention_q8_fused(
-                    qkv[:, 0].reshape(B, H + 2 * KVH, hs_real),
-                    k_pool, ks_pool, v_pool, vs_pool, table,
-                    cos_il, sin_il, page_ids, row_ids, idx, pos,
+            qkv3 = qkv[:, 0].reshape(B, H + 2 * KVH, hs_real)
+            if kv_quant:
+                from llama2_tpu.ops.pallas.paged_attention import (
+                    paged_decode_attention_q8_fused,
+                )
+
+                att, k_pool, ks_pool, v_pool, vs_pool = (
+                    paged_decode_attention_q8_fused(
+                        qkv3, k_pool, ks_pool, v_pool, vs_pool, table,
+                        cos_il, sin_il, page_ids, row_ids, idx, pos,
+                        n_heads=H, scale=1.0 / (hs_real**0.5),
+                    )
+                )
+            else:
+                from llama2_tpu.ops.pallas.paged_attention import (
+                    paged_decode_attention_fused,
+                )
+
+                att, k_pool, v_pool = paged_decode_attention_fused(
+                    qkv3, k_pool, v_pool, table, cos_il, sin_il,
+                    page_ids, row_ids, idx, pos,
                     n_heads=H, scale=1.0 / (hs_real**0.5),
                 )
-            )
             att = att.reshape(B, 1, config.dim)
             if isinstance(lp["wo"], QuantTensor):
                 x = quant_matmul_stacked(att, lp["wo"], li, residual=x)
@@ -159,7 +170,9 @@ def paged_forward_step(
                 x = x + linear(
                     ops.swiglu(h1, h3), lp["w2"], precision, backend, li
                 )
-            return (x, k_pool, ks_pool, v_pool, vs_pool), None
+            if kv_quant:
+                return (x, k_pool, ks_pool, v_pool, vs_pool), None
+            return (x, k_pool, v_pool), None
 
         if fuse_glue:
             # rmsnorm fused into the qkv launch (see llama._layer_decode_stacked)

@@ -235,6 +235,19 @@ def _kernel_stacked(
     ak.wait()
     av.wait()
 
+    o_ref[0] = _attend_pages_f32(
+        layer, b, pos, n_pages, q_ref[0].astype(jnp.float32) * scale,
+        table_ref, k_out, v_out, k_buf, v_buf, sems, page=page,
+    ).astype(o_ref.dtype)
+
+
+def _attend_pages_f32(
+    layer, b, pos, n_pages, q, table_ref, k_out, v_out, k_buf, v_buf, sems,
+    *, page: int,
+):
+    """Double-buffered table-chasing online-softmax loop over row ``b``'s fp
+    pages. ``q``: (KVH, G, hs) f32 values, PRE-scaled. Returns f32."""
+
     def k_dma(slot, i):
         return pltpu.make_async_copy(
             k_out.at[layer, table_ref[b, i]], k_buf.at[slot], sems.at[slot, 0]
@@ -248,7 +261,6 @@ def _kernel_stacked(
     k_dma(0, 0).start()
     v_dma(0, 0).start()
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (KVH, G, hs)
     KVH, G, hs = q.shape
 
     def body(i, carry):
@@ -289,7 +301,7 @@ def _kernel_stacked(
     l0 = jnp.zeros((KVH, G, 1), jnp.float32)
     acc0 = jnp.zeros((KVH, G, hs), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    return acc / l
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"), inline=True)
@@ -673,6 +685,185 @@ def paged_decode_attention_q8_stacked(
     )
     return (
         (out[:, None] if squeeze else out), k_pool, ks_pool, v_pool, vs_pool
+    )
+
+
+def _kernel_stacked_fused(
+    pos_ref,  # (B,) int32
+    table_ref,  # (B, max_pages) int32
+    wpage_ref,  # (B,) int32
+    wrow_ref,  # (B,) int32
+    layer_ref,  # (1,) int32
+    qkv_ref,  # (1, H + 2*KVH, hs) VMEM — PRE-rope QKV rows
+    cos_ref,  # (1, hs) f32 VMEM — interleaved-duplicated step table
+    sin_ref,
+    k_hbm_in,  # aliased pools
+    v_hbm_in,
+    o_ref,  # (1, KVH, G, hs) VMEM
+    k_out,
+    v_out,
+    k_buf,
+    v_buf,
+    knew_s,  # (KVH, 1, hs) pool-dtype scratch — staged append row
+    vnew_s,
+    sems,
+    *,
+    page: int,
+    scale: float,
+    n_q_heads: int,
+):
+    """:func:`_kernel_stacked` with the inter-launch XLA glue pulled into
+    the kernel prologue (the paged fp twin of
+    attention._kernel_stacked_fused): RoPE on q/k runs on the VPU on the
+    raw fused-QKV launch output; the roped K row and V row stage through
+    VMEM scratch and append via the same single-row DMA at the write
+    coordinates."""
+    from llama2_tpu.ops.pallas.attention_q8 import _rope_interleaved
+
+    b = pl.program_id(0)
+    layer = layer_ref[0]
+    pos = pos_ref[b]
+    n_pages = jax.lax.div(pos, page) + 1
+    H = n_q_heads
+    KVH = knew_s.shape[0]
+    hs = knew_s.shape[2]
+
+    qkv = qkv_ref[0].astype(jnp.float32)  # (H + 2*KVH, hs)
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    q = _rope_interleaved(qkv[:H], cos, sin)
+    knew_s[:] = _rope_interleaved(qkv[H : H + KVH], cos, sin)[
+        :, None, :
+    ].astype(knew_s.dtype)
+    vnew_s[:] = qkv[H + KVH :][:, None, :].astype(vnew_s.dtype)
+
+    ak = pltpu.make_async_copy(
+        knew_s,
+        k_out.at[layer, wpage_ref[b], :, pl.ds(wrow_ref[b], 1), :],
+        sems.at[0, 2],
+    )
+    av = pltpu.make_async_copy(
+        vnew_s,
+        v_out.at[layer, wpage_ref[b], :, pl.ds(wrow_ref[b], 1), :],
+        sems.at[1, 2],
+    )
+    ak.start()
+    av.start()
+    ak.wait()
+    av.wait()
+
+    o_ref[0] = _attend_pages_f32(
+        layer, b, pos, n_pages,
+        q.reshape(KVH, H // KVH, hs) * scale,
+        table_ref, k_out, v_out, k_buf, v_buf, sems, page=page,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "scale", "interpret"), inline=True
+)
+def _paged_decode_fused(
+    qkv, k_pool, v_pool, table, cos_il, sin_il, wpage, wrow, layer, pos,
+    n_heads: int, scale: float, interpret: bool,
+):
+    B = qkv.shape[0]
+    L, P, KVH, page, hs = k_pool.shape
+    H = n_heads
+    G = H // KVH
+
+    def vmem_spec(shape):
+        nd = len(shape)
+
+        def imap(b, *refs, nd=nd):
+            return (b,) + (0,) * (nd - 1)
+
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # pos, table, wpage, wrow, layer
+        grid=(B,),
+        in_specs=[
+            vmem_spec((1, H + 2 * KVH, hs)),  # qkv
+            vmem_spec((1, hs)),  # cos_il
+            vmem_spec((1, hs)),  # sin_il
+            hbm_spec, hbm_spec,  # pools (aliased)
+        ],
+        out_specs=[
+            vmem_spec((1, KVH, G, hs)),
+            hbm_spec, hbm_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KVH, page, hs), k_pool.dtype),
+            pltpu.VMEM((2, KVH, page, hs), v_pool.dtype),
+            pltpu.VMEM((KVH, 1, hs), k_pool.dtype),
+            pltpu.VMEM((KVH, 1, hs), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    # operands: 0=pos 1=table 2=wpage 3=wrow 4=layer 5=qkv 6=cos 7=sin
+    #           8=k 9=v
+    out, k_pool, v_pool = pl.pallas_call(
+        functools.partial(
+            _kernel_stacked_fused, page=page, scale=scale, n_q_heads=H
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, G, hs), qkv.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        input_output_aliases={8: 1, 9: 2},
+        interpret=interpret,
+    )(pos, table, wpage, wrow, layer, qkv, cos_il, sin_il, k_pool, v_pool)
+    return out.reshape(B, H, hs), k_pool, v_pool
+
+
+def paged_decode_attention_fused(
+    qkv: jax.Array,  # (B, H+2*KVH, hs) — raw fused-QKV output, PRE-rope
+    k_pool: jax.Array,  # (L, P, KVH, page, hs) — updated IN PLACE
+    v_pool: jax.Array,
+    table: jax.Array,  # (B, max_pages) int32
+    cos_il: jax.Array,  # (B, hs) f32 — step RoPE rows, pair-DUPLICATED
+    sin_il: jax.Array,
+    write_page: jax.Array,  # (B,) int32
+    write_row: jax.Array,  # (B,) int32
+    layer,
+    pos,
+    *,
+    n_heads: int,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Glue-fused fp paged decode attention: RoPE (q and k), the in-place
+    row append at ``(write_page, write_row)``, and the table-chasing
+    online-softmax read in ONE launch consuming the fused-QKV launch's raw
+    output (the paged fp twin of attention.flash_decode_attention_fused).
+
+    Returns ``(att (B, H, hs), k_pool, v_pool)`` with the pools updated in
+    place — treat the inputs as consumed, scan-carry style.
+    """
+    B, rows, hs = qkv.shape
+    KVH = k_pool.shape[2]
+    if rows != n_heads + 2 * KVH:
+        raise ValueError(
+            f"qkv rows {rows} != n_heads {n_heads} + 2*KVH {2 * KVH}"
+        )
+    if interpret is None:
+        interpret = interpret_default()
+    if not interpret and hs % 128 != 0:
+        raise ValueError(
+            f"paged fused decode requires head_size % 128 == 0 (got {hs})"
+        )
+    if scale is None:
+        scale = 1.0 / (hs**0.5)
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    return _paged_decode_fused(
+        qkv, k_pool, v_pool, table, cos_il, sin_il,
+        jnp.asarray(write_page, jnp.int32).reshape(-1),
+        jnp.asarray(write_row, jnp.int32).reshape(-1),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos, n_heads, float(scale), interpret,
     )
 
 

@@ -341,3 +341,101 @@ def test_paged_engine_q8_fused_page128_matches_dense_engine():
         )
     )
     assert paged == dense
+
+
+def test_paged_f32_fused_vs_composed():
+    """The fp-pool glue-fused paged kernel
+    (paged_attention.paged_decode_attention_fused) must reproduce the
+    composed path: XLA apply_rope + paged_decode_attention_stacked."""
+    from llama2_tpu.ops import xla as xops
+    from llama2_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_fused,
+        paged_decode_attention_stacked,
+    )
+
+    L, P, KVH, page, hs = 2, 4, 2, 64, 128
+    B, H = 2, 4
+    rng = np.random.default_rng(9)
+    k_pool = jnp.asarray(
+        rng.standard_normal((L, P, KVH, page, hs), np.float32)
+    )
+    v_pool = jnp.asarray(
+        rng.standard_normal((L, P, KVH, page, hs), np.float32)
+    )
+    tables = np.stack(
+        [rng.permutation(P)[:2] for _ in range(B)]
+    ).astype(np.int32)
+    positions = np.asarray([page + 2, 40], np.int32)
+    wpage = tables[np.arange(B), positions // page]
+    wrow = positions % page
+    qkv = jnp.asarray(
+        rng.standard_normal((B, H + 2 * KVH, hs), np.float32)
+    )
+
+    cos, sin = xops.rope_angles(jnp.asarray(positions)[:, None], hs)
+    q = xops.apply_rope(qkv[:, :H][:, None], cos, sin)[:, 0]
+    kn = xops.apply_rope(qkv[:, H : H + KVH][:, None], cos, sin)[:, 0]
+    layer = 1
+    att_ref, kr, vr = paged_decode_attention_stacked(
+        q, jnp.array(k_pool), jnp.array(v_pool), jnp.asarray(tables),
+        kn[:, :, None, :], qkv[:, H + KVH :][:, :, None, :],
+        jnp.asarray(wpage), jnp.asarray(wrow), layer,
+        jnp.asarray(positions),
+    )
+    att_f, kf, vf = paged_decode_attention_fused(
+        qkv, jnp.array(k_pool), jnp.array(v_pool), jnp.asarray(tables),
+        jnp.repeat(cos[:, 0], 2, -1), jnp.repeat(sin[:, 0], 2, -1),
+        jnp.asarray(wpage), jnp.asarray(wrow), layer,
+        jnp.asarray(positions), n_heads=H,
+    )
+    ref = att_ref[:, 0] if att_ref.ndim == 4 else att_ref
+    np.testing.assert_allclose(np.asarray(att_f), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(kf), np.asarray(kr), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vf), np.asarray(vr), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_paged_engine_f32_fused_matches_dense_engine():
+    """A paged fp-KV engine under --kernels pallas (the fp glue-fused
+    kernel's path) emits the same streams as the dense engine."""
+    from llama2_tpu.config import GenerationConfig, ModelConfig
+    from llama2_tpu.quant.q8 import quantize_params
+    from llama2_tpu.runtime.batch_engine import BatchEngine
+    from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+    cfg = ModelConfig(
+        dim=64, hidden_dim=172, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=256, seq_len=256, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(11)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.1
+
+    L, D, HD, V, KV = 2, 64, 172, 256, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = quantize_params(params, group_size=16)
+    gen = GenerationConfig(temperature=0.0, steps=20)
+    prompts = [[5, 7, 9], [3, 4], [11]]
+
+    def serve(engine):
+        qs = [engine.submit(p, gen) for p in prompts]
+        engine.run_until_idle()
+        return [q.get(timeout=300).tokens for q in qs]
+
+    dense = serve(BatchEngine(cfg, qp, batch_size=2, backend="pallas"))
+    paged = serve(
+        PagedBatchEngine(
+            cfg, qp, batch_size=2, page_size=64, n_pages=16,
+            backend="pallas",
+        )
+    )
+    assert paged == dense
