@@ -298,6 +298,25 @@ def _layer_decode_stacked(
                 n_heads=H, scale=1.0 / (hs**0.5),
             )
         att = att.reshape(B, T, D)
+        from llama2_tpu.ops.pallas.mlp_block import (
+            attn_mlp_block_supported,
+            attn_mlp_block_stacked,
+        )
+
+        if use_mlp_block(layer_params, backend) and attn_mlp_block_supported(
+            layer_params["wo"], layer_params["w1"], layer_params["w3"],
+            layer_params["w2"],
+        ):
+            # wo + FFN in ONE launch (the whole post-attention half of the
+            # layer): r = x + att@wo, out = r + swiglu(rmsnorm(r)@w1,@w3)@w2
+            x = attn_mlp_block_stacked(
+                att, x, layer_params["wo"], layer_params["rms_ffn"],
+                layer_params["w1"], layer_params["w3"], layer_params["w2"],
+                quant_idx, config.norm_eps,
+            )
+            if kv_quant:
+                return x, (k_cache, ks_cache, v_cache, vs_cache)
+            return x, (k_cache, v_cache)
         if isinstance(layer_params["wo"], QuantTensor):
             x = quant_matmul_stacked(
                 att, layer_params["wo"], quant_idx, residual=x

@@ -145,12 +145,27 @@ def paged_forward_step(
                     n_heads=H, scale=1.0 / (hs_real**0.5),
                 )
             att = att.reshape(B, 1, config.dim)
+            from llama2_tpu.models.llama import use_mlp_block
+            from llama2_tpu.ops.pallas.mlp_block import (
+                attn_mlp_block_supported,
+                attn_mlp_block_stacked,
+            )
+
+            if use_mlp_block(lp, backend) and attn_mlp_block_supported(
+                lp["wo"], lp["w1"], lp["w3"], lp["w2"]
+            ):
+                # wo + FFN in one launch (see llama._layer_decode_stacked)
+                x = attn_mlp_block_stacked(
+                    att, x, lp["wo"], lp["rms_ffn"], lp["w1"], lp["w3"],
+                    lp["w2"], li, config.norm_eps,
+                )
+                if kv_quant:
+                    return (x, k_pool, ks_pool, v_pool, vs_pool), None
+                return (x, k_pool, v_pool), None
             if isinstance(lp["wo"], QuantTensor):
                 x = quant_matmul_stacked(att, lp["wo"], li, residual=x)
             else:
                 x = x + linear(att, lp["wo"], precision, backend, li)
-            from llama2_tpu.models.llama import use_mlp_block
-
             if use_mlp_block(lp, backend):
                 from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
 

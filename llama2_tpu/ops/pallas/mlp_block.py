@@ -246,6 +246,262 @@ def _mlp_block_2d(
     return out
 
 
+def attn_mlp_block_supported(wo, w1, w3, w2) -> bool:
+    """Compiled-mode eligibility for the wo-prepended megakernel."""
+    if not mlp_block_supported(w1, w3, w2):
+        return False
+    if not isinstance(wo, QuantTensor) or wo.q.ndim != 3:
+        return False
+    L, D, HD = w1.q.shape
+    if wo.q.shape[1] != wo.q.shape[2] or wo.q.shape[:2] != (L, D):
+        return False
+    bk0 = _pick_bk(D, wo.group_size, 512)
+    # the wo phase keeps exact tiling (no ragged mask — D is the model dim,
+    # 128-aligned in every real config)
+    return D % bk0 == 0 and D % wo.group_size == 0
+
+
+def _kernel_wo(
+    l_ref, att_ref, x_ref, wo_ref, so_ref, rw_ref,
+    w1_ref, s1_ref, w3_ref, s3_ref, w2_ref, s2_ref,
+    o_ref, r_ref, xn_ref, h1_ref, h3_ref, acc_ref,
+    *, eps: float, D: int, HD: int, G0: int, G1: int, G2: int,
+    bk0: int, s_wo: int, bk1: int, s13: int, bk2: int, m: int, T: int,
+    bh: int,
+):
+    """:func:`_kernel` with the attention-output projection prepended:
+
+        r   = x + att @ Wo          (phase 0 — t == 0, s < s_wo)
+        out = r + swiglu(rmsnorm(r) @ W1, ... @ W3) @ W2   (phases 1-3)
+
+    One launch streams Wo, W1, W3 and W2 exactly once; ``r`` (the layer's
+    residual stream after attention) lives in VMEM scratch. For t > 0 the
+    first ``s_wo`` grid steps are no-ops with clamped index maps (no DMA is
+    re-issued for an unchanged block), so the wasted steps cost only grid
+    sequencing.
+    """
+    t = pl.program_id(1)
+    s = pl.program_id(2)
+    sp = s - s_wo  # phase-shifted step index for the FFN phases
+
+    @pl.when((t == 0) & (s == 0))
+    def _():
+        r_ref[:] = x_ref[:].astype(jnp.float32)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((t == 0) & (s < s_wo))
+    def _():
+        ak = att_ref[:, pl.dslice(s * bk0, bk0)].astype(jnp.float32)
+        r_ref[:] = _accum_fast(ak, wo_ref[0], so_ref[0], r_ref[:], G0)
+
+    @pl.when((t == 0) & (s == s_wo))
+    def _():
+        # rmsnorm over the completed residual row (identical semantics to
+        # _kernel's prologue, but on r instead of x)
+        Kp1 = s13 * bk1
+        rf = r_ref[:]
+        ms = jnp.mean(rf * rf, axis=-1, keepdims=True)
+        xn = rf * jax.lax.rsqrt(ms + eps) * rw_ref[:].astype(jnp.float32)
+        if Kp1 == D:
+            xn_ref[:] = xn
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (xn.shape[0], Kp1), 1)
+            xn_ref[:] = jnp.where(
+                col < D, jnp.pad(xn, ((0, 0), (0, Kp1 - D))), 0.0
+            )
+
+    @pl.when(s == s_wo)
+    def _():
+        h1_ref[:] = jnp.zeros_like(h1_ref)
+        h3_ref[:] = jnp.zeros_like(h3_ref)
+
+    @pl.when((s >= s_wo) & (sp < s13))
+    def _():
+        xk = xn_ref[:, pl.dslice(sp * bk1, bk1)]
+        s1 = s1_ref[0]
+        s3 = s3_ref[0]
+        if s13 * bk1 > D:
+            gid = sp * (bk1 // G1) + jax.lax.broadcasted_iota(
+                jnp.int32, s1.shape, 0
+            )
+            s1 = jnp.where(gid < D // G1, s1, 0.0)
+            s3 = jnp.where(gid < D // G1, s3, 0.0)
+        if T * bh > HD:
+            hid = t * bh + jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
+            s1 = jnp.where(hid < HD, s1, 0.0)
+            s3 = jnp.where(hid < HD, s3, 0.0)
+        h1_ref[:] = _accum_fast(xk, w1_ref[0], s1, h1_ref[:], G1)
+        h3_ref[:] = _accum_fast(xk, w3_ref[0], s3, h3_ref[:], G1)
+
+    @pl.when(sp == s13)
+    def _():
+        h1 = h1_ref[:]
+        h1_ref[:] = h1 * jax.nn.sigmoid(h1) * h3_ref[:]
+
+    @pl.when(sp >= s13)
+    def _():
+        hk = h1_ref[:, pl.dslice((sp - s13) * bk2, bk2)]
+        s2 = s2_ref[0]
+        blk = jnp.minimum(t * m + (sp - s13), cdiv(HD, bk2) - 1)
+        gid = blk * (bk2 // G2) + jax.lax.broadcasted_iota(
+            jnp.int32, s2.shape, 0
+        )
+        s2 = jnp.where(gid < HD // G2, s2, 0.0)
+        acc_ref[:] = _accum_fast(hk, w2_ref[0], s2, acc_ref[:], G2)
+
+    @pl.when((t == T - 1) & (s == s_wo + s13 + m - 1))
+    def _():
+        o_ref[:] = (acc_ref[:] + r_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eps", "group0", "group1", "group2", "bm", "interpret", "m_cap"
+    ),
+    inline=True,
+)
+def _attn_mlp_block_2d(
+    att, x, qo, so, rms_w, q1, s1, q3, s3, q2, s2, layer,
+    eps: float, group0: int, group1: int, group2: int, bm: int,
+    interpret: bool, m_cap: int | None,
+):
+    M, D = x.shape
+    L, _, HD = q1.shape
+    bk0 = _pick_bk(D, group0, 512)
+    s_wo = D // bk0
+    bk1, s13, bk2, m, T, bh = _plan(D, HD, group1, group2)
+    if m_cap is not None:  # test hook: force chunking on small shapes
+        T = cdiv(cdiv(HD, bk2), m_cap)
+        m = cdiv(cdiv(HD, bk2), T)
+        bh = m * bk2
+    S = s_wo + s13 + m
+    sg0, sg1, sg2 = bk0 // group0, bk1 // group1, bk2 // group2
+    n_sub = cdiv(HD, bk2)
+
+    def wo_idx(i, t, s, l_ref):
+        # t == 0 streams the tiles; t > 0 pins the index to the last one so
+        # the no-op phase steps re-issue no DMA (wo streams exactly once)
+        return (
+            l_ref[0],
+            jnp.where(t > 0, s_wo - 1, jnp.minimum(s, s_wo - 1)),
+            0,
+        )
+
+    def w13_idx(i, t, s, l_ref):
+        sp = jnp.maximum(s - s_wo, 0)
+        return (l_ref[0], jnp.minimum(sp, s13 - 1), t)
+
+    def w2_idx(i, t, s, l_ref):
+        sp = jnp.maximum(s - s_wo, 0)
+        blk = jnp.where(sp < s13, t * m, t * m + (sp - s13))
+        return (l_ref[0], jnp.minimum(blk, n_sub - 1), 0)
+
+    def row_spec():
+        return pl.BlockSpec(
+            (bm, D), lambda i, t, s, l: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_wo, eps=eps, D=D, HD=HD, G0=group0, G1=group1, G2=group2,
+            bk0=bk0, s_wo=s_wo, bk1=bk1, s13=s13, bk2=bk2, m=m, T=T, bh=bh,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cdiv(M, bm), T, S),
+            in_specs=[
+                row_spec(),  # att
+                row_spec(),  # x
+                pl.BlockSpec((1, bk0, D), wo_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sg0, D), wo_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda i, t, s, l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sg1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sg1, bh), w13_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk2, D), w2_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sg2, D), w2_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=row_spec(),
+            scratch_shapes=[
+                pltpu.VMEM((bm, D), jnp.float32),  # r (post-wo residual)
+                pltpu.VMEM((bm, s13 * bk1), jnp.float32),  # xn
+                pltpu.VMEM((bm, bh), jnp.float32),  # h1 / swiglu product
+                pltpu.VMEM((bm, bh), jnp.float32),  # h3
+                pltpu.VMEM((bm, D), jnp.float32),  # out accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * D * (D + 3 * HD),
+            bytes_accessed=D * D + 3 * D * HD
+            + (D // group0) * D * 4 + (D // group1) * HD * 8
+            + (HD // group2) * D * 4,
+            transcendentals=M * HD,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.05 * 2 * (
+                (bk0 * D + 2 * bk1 * bh + bk2 * D)
+                + 4 * ((bk0 // group0) * D + 2 * (bk1 // group1) * bh
+                       + (bk2 // group2) * D)
+            ) + 4 * bm * (s13 * bk1 + 2 * bh + 4 * D) + 2 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), att, x,
+      qo, so, rms_w.reshape(1, D), q1, s1, q3, s3, q2, s2)
+    return out
+
+
+def attn_mlp_block_stacked(
+    att: jax.Array,
+    x: jax.Array,
+    wo: QuantTensor,
+    rms_w: jax.Array,
+    w1: QuantTensor,
+    w3: QuantTensor,
+    w2: QuantTensor,
+    layer,
+    eps: float = 1e-5,
+    *,
+    interpret: bool | None = None,
+    m_cap: int | None = None,
+) -> jax.Array:
+    """``r + swiglu(rmsnorm(r) @ w1[l], ...) @ w2[l]`` with
+    ``r = x + att @ wo[l]`` — the whole post-attention half of a decoder
+    layer in ONE launch streaming Wo, W1, W3 and W2 exactly once.
+
+    ``att/x (..., D)``; weights layer-stacked 3-D QuantTensors.
+    """
+    if not attn_mlp_block_supported(wo, w1, w3, w2):
+        raise ValueError(
+            "attn_mlp_block_stacked: unsupported shapes (use fallback)"
+        )
+    L, D, HD = w1.q.shape
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    att2 = att.reshape(M, D)
+    x2 = x.reshape(M, D)
+    if interpret is None:
+        interpret = interpret_default()
+    bm = 8 if M <= 8 else min(round_up(M, 8), 256)
+    Mp = round_up(M, bm)
+    if Mp != M:
+        att2 = jnp.pad(att2, ((0, Mp - M), (0, 0)))
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    out = _attn_mlp_block_2d(
+        att2, x2, wo.q, wo.scale, rms_w, w1.q, w1.scale, w3.q, w3.scale,
+        w2.q, w2.scale, layer, float(eps), wo.group_size, w1.group_size,
+        w2.group_size, bm, interpret, m_cap,
+    )
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*lead, D)
+
+
 def mlp_block_stacked(
     x: jax.Array,
     rms_w: jax.Array,

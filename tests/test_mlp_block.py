@@ -189,3 +189,97 @@ def test_engine_keeps_w1_w3_for_mlp_kernel():
     res = q.get(timeout=120)
     assert not isinstance(res, Exception)
     assert 0 < len(res.tokens) <= 8
+
+
+@pytest.mark.parametrize(
+    "M,D,HD,G,m_cap",
+    [
+        (8, 256, 384, 64, None),  # single chunk
+        (4, 256, 1376, 8, 2),  # ragged HD + chunking (clamped OOB block)
+    ],
+)
+def test_attn_mlp_block_vs_composed(M, D, HD, G, m_cap):
+    """The wo-prepended megakernel (one launch for wo + FFN) must match
+    r = x + att@wo followed by the plain mlp_block kernel, up to fast-mode
+    bf16 group-dot rounding in the wo phase."""
+    from llama2_tpu.ops.pallas.mlp_block import (
+        attn_mlp_block_stacked,
+        attn_mlp_block_supported,
+        mlp_block_stacked,
+    )
+
+    w1, w3, w2, rms_w, rng = _build(2, D, HD, G, G, seed=D + HD)
+    wo = quantize(
+        jnp.asarray(rng.standard_normal((2, D, D)).astype(np.float32) * 0.05),
+        G,
+    )
+    assert attn_mlp_block_supported(wo, w1, w3, w2)
+    att = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32))
+    for layer in (0, 1):
+        r = x + att @ dequantize(wo)[layer]
+        want = np.asarray(
+            mlp_block_stacked(r, rms_w, w1, w3, w2, layer, 1e-5, m_cap=m_cap)
+        )
+        got = np.asarray(
+            attn_mlp_block_stacked(
+                att, x, wo, rms_w, w1, w3, w2, layer, 1e-5, m_cap=m_cap
+            )
+        )
+        np.testing.assert_allclose(
+            got, want, atol=3e-2 * np.abs(want).max()
+        )
+
+
+def test_attn_mlp_model_path_token_parity(monkeypatch):
+    """Decode tokens must match whether the wo+FFN megakernel engages or
+    the wo-launch + mlp_block pair runs (shapes chosen so the megakernel's
+    compiled-path gate passes: D%128, bh%128, hs=128)."""
+    import llama2_tpu.models.llama as M
+    import llama2_tpu.ops.pallas.mlp_block as MB
+    from llama2_tpu.config import ModelConfig
+    from llama2_tpu.quant.q8 import quantize_params
+
+    cfg = ModelConfig(
+        dim=256, hidden_dim=384, n_layers=2, n_heads=2, n_kv_heads=2,
+        vocab_size=128, seq_len=128, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(0)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.05
+
+    L, D, HD, V, KV = 2, 256, 384, 128, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = M.fuse_layer_params(quantize_params(params, group_size=64), "pallas")
+
+    def decode(use_merged):
+        if not use_merged:
+            monkeypatch.setattr(
+                MB, "attn_mlp_block_supported", lambda *a: False
+            )
+        try:
+            cache = M.init_cache(cfg, 2, kv_quant=True)
+            toks = jnp.asarray([[5], [9]], jnp.int32)
+            pos = jnp.asarray([0, 0], jnp.int32)
+            out = []
+            for _ in range(8):
+                hidden, cache = M.forward(
+                    qp, cache, toks, pos, cfg, backend="pallas"
+                )
+                logits = M.logits_from_hidden(
+                    qp, hidden[:, -1, :], backend="pallas"
+                )
+                toks = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+                pos = pos + 1
+                out.append(np.asarray(toks[:, 0]).copy())
+        finally:
+            monkeypatch.undo()
+        return np.stack(out)
+
+    np.testing.assert_array_equal(decode(True), decode(False))
