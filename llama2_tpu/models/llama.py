@@ -639,20 +639,99 @@ def forward(
             cos_il = jnp.broadcast_to(cos_il, (B, cos_il.shape[-1]))
             sin_il = jnp.broadcast_to(sin_il, (B, sin_il.shape[-1]))
 
-        def dbody(carry, xs):
-            x, caches = carry
-            idx, layer_params = xs
-            lp = {**layer_params, **stacked}
-            x, caches = _layer_decode_stacked(
-                x, lp, caches, idx, pos, cos, sin, config, precision,
-                backend, idx if stacked else None, cos_il, sin_il,
-            )
-            return (x, caches), None
-
         idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
-        (x, caches), _ = jax.lax.scan(
-            dbody, (x, caches), (idxs, layer_stack), unroll=unroll
+
+        # TWO-launch decode layer: glue-fused attention + the wo/FFN/next-
+        # qkv megakernel, with each layer's pre-rope QKV riding the scan
+        # carry (computed by the PREVIOUS layer's tail launch; layer 0's by
+        # one standalone launch per step).
+        from llama2_tpu.ops.pallas.common import interpret_default
+        from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_supported
+
+        hs = config.head_size
+        use_tail_qkv = (
+            cos_il is not None
+            and (hs % 128 == 0 or interpret_default())
+            and cache["k"].shape[-1] == hs
+            and (cache["k"].shape[3] % 128 == 0 or not kv_quant)
+            and all(
+                isinstance(stacked.get(k), QuantTensor)
+                for k in ("wqkv", "wo", "w1", "w3", "w2")
+            )
+            and layer_tail_qkv_supported(
+                stacked["wo"], stacked["w1"], stacked["w3"], stacked["w2"],
+                stacked["wqkv"],
+            )
         )
+        if use_tail_qkv:
+            from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_stacked
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            B, T = tokens.shape
+            D = config.dim
+            H, KVH = config.n_heads, config.n_kv_heads
+            pvec = jnp.broadcast_to(
+                jnp.asarray(pos, jnp.int32).reshape(-1), (B,)
+            )
+            scale = 1.0 / (hs**0.5)
+            qkv0 = quant_matmul_stacked(
+                x, stacked["wqkv"], jnp.int32(0),
+                rms_w=params["rms_att"][0], eps=config.norm_eps,
+            )
+
+            def dbody_tail(carry, idx):
+                x, qkv, caches = carry
+                qkv3 = qkv[:, 0].reshape(B, H + 2 * KVH, hs)
+                if kv_quant:
+                    from llama2_tpu.ops.pallas.attention_q8 import (
+                        flash_decode_attention_q8_fused,
+                    )
+
+                    k_c, ks_c, v_c, vs_c = caches
+                    att, k_c, ks_c, v_c, vs_c = (
+                        flash_decode_attention_q8_fused(
+                            qkv3, k_c, ks_c, v_c, vs_c, cos_il, sin_il,
+                            idx, pvec, n_heads=H, scale=scale,
+                        )
+                    )
+                    caches = (k_c, ks_c, v_c, vs_c)
+                else:
+                    from llama2_tpu.ops.pallas.attention import (
+                        flash_decode_attention_fused,
+                    )
+
+                    k_c, v_c = caches
+                    att, k_c, v_c = flash_decode_attention_fused(
+                        qkv3, k_c, v_c, cos_il, sin_il, idx, pvec,
+                        n_heads=H, scale=scale,
+                    )
+                    caches = (k_c, v_c)
+                x, qkv = layer_tail_qkv_stacked(
+                    att.reshape(B, T, D), x, stacked["wo"],
+                    params["rms_ffn"], stacked["w1"], stacked["w3"],
+                    stacked["w2"], params["rms_att"], stacked["wqkv"],
+                    idx, config.norm_eps,
+                )
+                return (x, qkv, caches), None
+
+            (x, _, caches), _ = jax.lax.scan(
+                dbody_tail, (x, qkv0, caches), idxs, unroll=unroll
+            )
+        else:
+
+            def dbody(carry, xs):
+                x, caches = carry
+                idx, layer_params = xs
+                lp = {**layer_params, **stacked}
+                x, caches = _layer_decode_stacked(
+                    x, lp, caches, idx, pos, cos, sin, config, precision,
+                    backend, idx if stacked else None, cos_il, sin_il,
+                )
+                return (x, caches), None
+
+            (x, caches), _ = jax.lax.scan(
+                dbody, (x, caches), (idxs, layer_stack), unroll=unroll
+            )
         if kv_quant:
             new_cache = {
                 "k": caches[0], "k_scale": caches[1],

@@ -283,3 +283,60 @@ def test_attn_mlp_model_path_token_parity(monkeypatch):
         return np.stack(out)
 
     np.testing.assert_array_equal(decode(True), decode(False))
+
+
+def test_layer_tail_qkv_model_token_parity(monkeypatch):
+    """Decode tokens must match whether the 2-launch layer (fused attention
+    + wo/FFN/next-qkv megakernel with qkv in the scan carry) engages or the
+    per-layer path runs; covers both KV cache dtypes."""
+    import llama2_tpu.models.llama as M
+    import llama2_tpu.ops.pallas.mlp_block as MB
+    from llama2_tpu.config import ModelConfig
+    from llama2_tpu.quant.q8 import quantize_params
+
+    cfg = ModelConfig(
+        dim=256, hidden_dim=384, n_layers=3, n_heads=2, n_kv_heads=2,
+        vocab_size=128, seq_len=128, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(4)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.05
+
+    L, D, HD, V, KV = 3, 256, 384, 128, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = M.fuse_layer_params(quantize_params(params, group_size=64), "pallas")
+
+    def decode(use_tail, kv_quant):
+        if not use_tail:
+            monkeypatch.setattr(
+                MB, "layer_tail_qkv_supported", lambda *a: False
+            )
+        try:
+            cache = M.init_cache(cfg, 2, kv_quant=kv_quant)
+            toks = jnp.asarray([[5], [9]], jnp.int32)
+            pos = jnp.asarray([0, 0], jnp.int32)
+            out = []
+            for _ in range(8):
+                hidden, cache = M.forward(
+                    qp, cache, toks, pos, cfg, backend="pallas"
+                )
+                logits = M.logits_from_hidden(
+                    qp, hidden[:, -1, :], backend="pallas"
+                )
+                toks = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+                pos = pos + 1
+                out.append(np.asarray(toks[:, 0]).copy())
+        finally:
+            monkeypatch.undo()
+        return np.stack(out)
+
+    for kv_quant in (False, True):
+        np.testing.assert_array_equal(
+            decode(True, kv_quant), decode(False, kv_quant)
+        )
