@@ -92,6 +92,83 @@ def paged_forward_step(
         cos_il = jnp.repeat(cos.reshape(B, -1), 2, axis=-1)
         sin_il = jnp.repeat(sin.reshape(B, -1), 2, axis=-1)
 
+    # TWO-launch decode layer over the page pools (the paged twin of
+    # llama.forward's tail-qkv scan): glue-fused paged attention + the
+    # wo/FFN/next-qkv megakernel, qkv riding the scan carry.
+    from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_supported
+
+    use_tail_qkv = (
+        cos_il is not None
+        and all(
+            isinstance(stacked.get(k), QuantTensor)
+            for k in ("wqkv", "wo", "w1", "w3", "w2")
+        )
+        and layer_tail_qkv_supported(
+            stacked["wo"], stacked["w1"], stacked["w3"], stacked["w2"],
+            stacked["wqkv"],
+        )
+    )
+    if use_tail_qkv:
+        from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_stacked
+        from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+        H_, KVH_, hs_ = H, KVH, hs_real
+        scale = 1.0 / (hs_**0.5)
+        qkv0 = quant_matmul_stacked(
+            x, stacked["wqkv"], jnp.int32(0),
+            rms_w=params["rms_att"][0], eps=config.norm_eps,
+        )
+
+        def body_tail(carry, idx):
+            if kv_quant:
+                x, qkv, k_pool, ks_pool, v_pool, vs_pool = carry
+            else:
+                x, qkv, k_pool, v_pool = carry
+            qkv3 = qkv[:, 0].reshape(B, H_ + 2 * KVH_, hs_)
+            if kv_quant:
+                from llama2_tpu.ops.pallas.paged_attention import (
+                    paged_decode_attention_q8_fused,
+                )
+
+                att, k_pool, ks_pool, v_pool, vs_pool = (
+                    paged_decode_attention_q8_fused(
+                        qkv3, k_pool, ks_pool, v_pool, vs_pool, table,
+                        cos_il, sin_il, page_ids, row_ids, idx, pos,
+                        n_heads=H_, scale=scale,
+                    )
+                )
+            else:
+                from llama2_tpu.ops.pallas.paged_attention import (
+                    paged_decode_attention_fused,
+                )
+
+                att, k_pool, v_pool = paged_decode_attention_fused(
+                    qkv3, k_pool, v_pool, table, cos_il, sin_il,
+                    page_ids, row_ids, idx, pos, n_heads=H_, scale=scale,
+                )
+            x, qkv = layer_tail_qkv_stacked(
+                att.reshape(B, 1, D), x, stacked["wo"], params["rms_ffn"],
+                stacked["w1"], stacked["w3"], stacked["w2"],
+                params["rms_att"], stacked["wqkv"], idx, config.norm_eps,
+            )
+            if kv_quant:
+                return (x, qkv, k_pool, ks_pool, v_pool, vs_pool), None
+            return (x, qkv, k_pool, v_pool), None
+
+        idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
+        if kv_quant:
+            (x, _, k_pool, ks_pool, v_pool, vs_pool), _ = jax.lax.scan(
+                body_tail, (x, qkv0, k_pool, ks_pool, v_pool, vs_pool),
+                idxs, unroll=unroll,
+            )
+            x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+            return x, k_pool, ks_pool, v_pool, vs_pool
+        (x, _, k_pool, v_pool), _ = jax.lax.scan(
+            body_tail, (x, qkv0, k_pool, v_pool), idxs, unroll=unroll
+        )
+        x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+        return x, k_pool, v_pool
+
     def body(carry, xs):
         # pools ride the CARRY un-sliced (the xs/ys form cost a full pool
         # read + rebuild per decode step — the round-1 paged engine ran at

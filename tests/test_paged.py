@@ -439,3 +439,56 @@ def test_paged_engine_f32_fused_matches_dense_engine():
         )
     )
     assert paged == dense
+
+
+def test_paged_tail_qkv_matches_composed(monkeypatch):
+    """The paged 2-launch layer (fused paged attention + wo/FFN/next-qkv
+    megakernel) must emit the same streams as the paged composed path,
+    both KV dtypes (shapes pass the megakernel's gate: D%128, bh%128,
+    hs=128). Dense-vs-paged is NOT asserted at int8: the online-softmax
+    partial order differs between 128-row pages and the dense kernel's
+    block size, and bf16 near-ties on random weights legitimately flip."""
+    import llama2_tpu.ops.pallas.mlp_block as MB
+    from llama2_tpu.config import GenerationConfig, ModelConfig
+    from llama2_tpu.quant.q8 import quantize_params
+    from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+    cfg = ModelConfig(
+        dim=256, hidden_dim=384, n_layers=2, n_heads=2, n_kv_heads=2,
+        vocab_size=128, seq_len=256, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(13)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.05
+
+    L, D, HD, V, KV = 2, 256, 384, 128, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = quantize_params(params, group_size=64)
+    gen = GenerationConfig(temperature=0.0, steps=16)
+    prompts = [[5, 7, 9], [3, 4]]
+
+    def serve(engine):
+        qs = [engine.submit(p, gen) for p in prompts]
+        engine.run_until_idle()
+        return [q.get(timeout=300).tokens for q in qs]
+
+    def paged(kvq):
+        return serve(
+            PagedBatchEngine(
+                cfg, qp, batch_size=2, page_size=128, n_pages=8,
+                backend="pallas", kv_quant=kvq,
+            )
+        )
+
+    for kvq in (False, True):
+        with_tail = paged(kvq)
+        monkeypatch.setattr(MB, "layer_tail_qkv_supported", lambda *a: False)
+        composed = paged(kvq)
+        monkeypatch.undo()
+        assert with_tail == composed, f"kv_quant={kvq}"
