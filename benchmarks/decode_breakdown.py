@@ -284,7 +284,17 @@ def main(argv=None) -> int:
         h = xops.swiglu(h1, h3)
         return x + quant_matmul_stacked(h, p["w2"], l)[:, 0], cache
 
-    # classifier + argmax (once per step, not per layer)
+    # tail megakernel (wo + FFN + next-qkv in ONE launch — what the
+    # 2-launch model path now runs; mlp_block.layer_tail_qkv_stacked)
+    def tail_fn(p, x, l, pos, cache):
+        from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_stacked
+
+        out, qn = layer_tail_qkv_stacked(
+            x, x, p["wo"], p["rms_ffn"], p["w1"], p["w3"], p["w2"],
+            p["rms_att"], p["wqkv"], l, eps,
+        )
+        # fold qkv into the carry so the stage keeps a sequential dep
+        return out + 1e-7 * qn[..., :D], cache
     def logits_stage():
         def make(n):
             @partial(jax.jit, static_argnames=("steps",))
@@ -331,12 +341,27 @@ def main(argv=None) -> int:
     report("  wo launch (residual fused)", dt_wo, w_o)
     dt_ffn = _diff_timed(layer_loop_stage(ffn_fn), K)
     report("  FFN megakernel", dt_ffn, w_ffn)
+    from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_supported
+
+    dt_tail = None
+    if layer_tail_qkv_supported(
+        params["wo"], params["w1"], params["w3"], params["w2"],
+        params["wqkv"],
+    ):
+        dt_tail = _diff_timed(layer_loop_stage(tail_fn), K)
+        report("  tail megakernel (wo+FFN+qkv)", dt_tail,
+               w_o + w_ffn + w_qkv)
     dt_split = _diff_timed(layer_loop_stage(ffn_split_fn), K)
     report("  FFN split (w1,w3,w2 launches)", dt_split, w_ffn)
     dt_log = _diff_timed(logits_stage(), K)
     report("  logits+argmax", dt_log, w_cls)
 
-    glue = dt_tick - (dt_qkv + dt_attn_f + dt_wo + dt_ffn + dt_log)
+    if dt_tail is not None:
+        # 2-launch model path: attention + tail per layer, one qkv0 launch
+        # and the classifier per step
+        glue = dt_tick - (dt_attn_f + dt_tail + dt_log + dt_qkv / L)
+    else:
+        glue = dt_tick - (dt_qkv + dt_attn_f + dt_wo + dt_ffn + dt_log)
     print(f"{'  residual (XLA glue/dispatch)':34s} {glue * 1e3:8.3f} ms/step")
     return 0
 
