@@ -93,10 +93,32 @@ def cache_specs(cache: dict, mesh: Mesh) -> dict[str, P]:
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    specs = param_specs(params, mesh)
-    return {
-        k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in params.items()
-    }
+    """Shard a param tree. QuantTensor leaves get their q/scale arrays
+    spec'd INDIVIDUALLY: the scale sidecar's group axis is 1/group_size the
+    q axis, so a spec computed from the logical shape can be illegal for it
+    (e.g. w2 (L, 11008, D) row-shards 4-ways but its (L, 172, D) scales
+    don't divide — the scale then replicates, which GSPMD handles fine in
+    the dequant einsum)."""
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, QuantTensor):
+            out[k] = QuantTensor(
+                q=jax.device_put(
+                    v.q, NamedSharding(mesh, leaf_spec(k, v.q.shape, mesh))
+                ),
+                scale=jax.device_put(
+                    v.scale,
+                    NamedSharding(mesh, leaf_spec(k, v.scale.shape, mesh)),
+                ),
+                group_size=v.group_size,
+            )
+        else:
+            out[k] = jax.device_put(
+                v, NamedSharding(mesh, leaf_spec(k, v.shape, mesh))
+            )
+    return out
 
 
 def shard_cache(cache: dict, mesh: Mesh) -> dict:

@@ -342,6 +342,13 @@ class BatchEngine:
         # (new tokens then arrive in bursts of up to this size)
         self.ticks_per_sync = max(1, ticks_per_sync)
         self.precision = precision
+        if mesh is not None and backend.startswith("pallas"):
+            # Mosaic kernels are not GSPMD-partitionable: under a mesh the
+            # tick runs the XLA kernels (one GSPMD program, collectives on
+            # ICI); the pallas fast path is the single-chip configuration.
+            # (Fused QuantTensor layouts also violate the tested sharding
+            # specs — the 9-key layout shards cleanly.)
+            backend = "xla"
         self.backend = backend
         self.dtype = jnp.dtype(dtype)
         self.params = jax.tree.map(

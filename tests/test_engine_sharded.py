@@ -124,3 +124,40 @@ def test_sharded_paged_engine_q8_pools(model):
     assert ss[1] == eng.pool.n_pages  # page axis replicated
     got = _serve(eng, gen)
     assert got == want
+
+
+def test_mesh_downgrades_pallas_to_xla():
+    """--mesh + --kernels pallas serves through the XLA/GSPMD path (Mosaic
+    kernels are not GSPMD-partitionable); streams match the single-device
+    XLA engine."""
+    import numpy as np
+
+    from llama2_tpu.config import ModelConfig
+    from llama2_tpu.quant.q8 import quantize_params
+    from llama2_tpu.runtime.batch_engine import BatchEngine
+
+    cfg = ModelConfig(
+        dim=256, hidden_dim=384, n_layers=2, n_heads=2, n_kv_heads=2,
+        vocab_size=128, seq_len=128, norm_eps=1e-5,
+    )
+    rng = np.random.default_rng(1)
+
+    def r(*s):
+        return rng.standard_normal(s, np.float32) * 0.05
+
+    L, D, HD, V, KV = 2, 256, 384, 128, cfg.kv_dim
+    params = {
+        "tok_emb": r(V, D), "rms_att": 1 + r(L, D), "wq": r(L, D, D),
+        "wk": r(L, D, KV), "wv": r(L, D, KV), "wo": r(L, D, D),
+        "rms_ffn": 1 + r(L, D), "w1": r(L, D, HD), "w2": r(L, HD, D),
+        "w3": r(L, D, HD), "rms_final": 1 + r(D), "wcls": r(D, V),
+    }
+    qp = quantize_params(params, group_size=64)
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    want = _serve(BatchEngine(cfg, qp, batch_size=2, kv_quant=True), gen)
+    eng = BatchEngine(
+        cfg, qp, batch_size=2, backend="pallas", kv_quant=True,
+        mesh=make_mesh(2, 4),
+    )
+    assert eng.backend == "xla"
+    assert _serve(eng, gen) == want
