@@ -271,12 +271,14 @@ def _tick(
         step, (tokens, pos, budget, active, cache), jnp.arange(n_ticks)
     )
     # pack everything the host reads into ONE array: each np.asarray of a
-    # device array is a full host round trip on a remote transport
+    # device array is a full host round trip on a remote transport. budget
+    # returns separately so a pipelined caller can chain the next tick's
+    # inputs from DEVICE arrays without a host fetch (see _dispatch_tick).
     packed = jnp.concatenate(
         [emitted, tokens[None], pos[None], active.astype(jnp.int32)[None]],
         axis=0,
     )
-    return packed, cache
+    return packed, budget, cache
 
 
 @partial(
@@ -322,6 +324,7 @@ class BatchEngine:
         spec_window: int = 0,
         mesh=None,
         max_retries: int = 1,
+        pipeline_depth: int = 2,
     ):
         self.config = config
         self.batch_size = batch_size
@@ -395,6 +398,12 @@ class BatchEngine:
         self._argmax = np.zeros(batch_size, bool)
         self._base_key = jax.random.PRNGKey(default_seed)
         self._tick_idx = 0
+        # pipelined sync state: dispatched-but-unread packed outputs, and
+        # the last window's (tokens, pos, budget, active) DEVICE arrays the
+        # next window chains from (see _dispatch_tick/_drain)
+        self._inflight: list = []
+        self._chain: tuple | None = None
+        self.pipeline_depth = max(1, pipeline_depth)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.metrics = {"requests": 0, "tokens": 0, "ttft": [], "preempted": 0}
@@ -450,7 +459,10 @@ class BatchEngine:
     def run_until_idle(self, max_ticks: int = 100_000):
         """Synchronous drive (tests / batch jobs): process queue to completion."""
         while (
-            not self.waiting.empty() or self._requeue or any(self.slots)
+            not self.waiting.empty()
+            or self._requeue
+            or any(self.slots)
+            or self._inflight
         ) and max_ticks > 0:
             self._step()
             max_ticks -= 1
@@ -459,7 +471,12 @@ class BatchEngine:
 
     def _loop(self):
         while not self._stop.is_set():
-            if self.waiting.empty() and not self._requeue and not any(self.slots):
+            if (
+                self.waiting.empty()
+                and not self._requeue
+                and not any(self.slots)
+                and not self._inflight
+            ):
                 time.sleep(0.001)
                 continue
             try:
@@ -493,6 +510,9 @@ class BatchEngine:
             survivors.append(req)
         self._requeue = survivors
         self.metrics["recoveries"] = self.metrics.get("recoveries", 0) + 1
+        # pipelined syncs reference the poisoned device state: drop them
+        self._inflight = []
+        self._chain = None
         self._rebuild()
 
     def _rebuild(self):
@@ -519,6 +539,8 @@ class BatchEngine:
         self._admit()
         if any(self.slots):
             self._decode_tick()
+        elif self._inflight:
+            self._drain(0)
 
     def _admit(self):
         for slot in range(self.batch_size):
@@ -538,6 +560,10 @@ class BatchEngine:
         # already-emitted stream (teacher-forced prefill of prompt +
         # generated) so the continuation resumes at the same position
         # instead of resampling from the prompt
+        # prefill edits device/host state outside the pipelined chain:
+        # flush any in-flight syncs first (no-op in the common path — the
+        # scheduler admits only after a retire was replayed)
+        self._drain(0)
         resume = req.ttft_s is not None and len(req.tokens) > len(req.prompt)
         prompt = req.prompt
         if resume:
@@ -618,21 +644,18 @@ class BatchEngine:
         return int(np.asarray(tok))
 
     def _decode_tick(self):
-        key = jax.random.fold_in(self._base_key, self._tick_idx)
-        self._tick_idx += 1
         active = np.asarray([r is not None for r in self.slots])
-        budget = np.asarray(
-            [
-                (r.steps - len(r.tokens)) if r is not None else 0
-                for r in self.slots
-            ],
-            np.int32,
-        )
         if (
             self.spec_window
             and active.any()
             and not np.any(~self._argmax[active])
         ):
+            # the speculative tick reads per-slot histories from the host —
+            # it cannot chain on device, so flush any pipelined syncs first
+            self._drain(0)
+            key = jax.random.fold_in(self._base_key, self._tick_idx)
+            self._tick_idx += 1
+            budget = self._host_budget()
             S = self.config.seq_len
             hist = np.full((self.batch_size, S), -1, np.int32)
             for slot, req in enumerate(self.slots):
@@ -654,16 +677,47 @@ class BatchEngine:
             )
             self._replay(np.asarray(packed))
             return
-        packed, self.cache = _tick(
+        self._dispatch_tick(active)
+        # pipelined sync: keep up to depth-1 dispatched-but-unread syncs in
+        # flight so the host fetch (one full RTT on a remote transport)
+        # overlaps the NEXT window's device execution
+        self._drain(self.pipeline_depth - 1)
+
+    def _host_budget(self) -> np.ndarray:
+        return np.asarray(
+            [
+                (r.steps - len(r.tokens)) if r is not None else 0
+                for r in self.slots
+            ],
+            np.int32,
+        )
+
+    def _dispatch_tick(self, active: np.ndarray):
+        """Issue one n_ticks decode window. Inputs come from the device-side
+        chain (the previous window's returned state, no host fetch) when one
+        exists, else from the host mirrors; the device-side freeze logic
+        (BOS/budget) makes dispatching ahead of the replay safe — a slot
+        that retired in an unread window is frozen on device and emits -1.
+        """
+        key = jax.random.fold_in(self._base_key, self._tick_idx)
+        self._tick_idx += 1
+        if self._chain is not None:
+            tokens, pos, budget, chain_active = self._chain
+        else:
+            tokens = jnp.asarray(self._tokens)
+            pos = jnp.asarray(self._pos)
+            budget = jnp.asarray(self._host_budget())
+            chain_active = jnp.asarray(active)
+        packed, budget, self.cache = _tick(
             self.params,
             self.cache,
-            jnp.asarray(self._tokens),
-            jnp.asarray(self._pos),
-            jnp.asarray(budget),
+            tokens,
+            pos,
+            budget,
             jnp.asarray(self._temp),
             jnp.asarray(self._topp),
             jnp.asarray(self._argmax),
-            jnp.asarray(active),
+            chain_active,
             key,
             config=self.config,
             precision=self.precision,
@@ -671,7 +725,18 @@ class BatchEngine:
             n_ticks=self.ticks_per_sync,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
         )
-        self._replay(np.asarray(packed))
+        self._chain = (packed[-3], packed[-2], budget, packed[-1].astype(bool))
+        self._inflight.append(packed)
+
+    def _drain(self, keep: int = 0):
+        """Fetch + replay in-flight syncs until at most ``keep`` remain.
+        A full drain (keep=0) also drops the device-side input chain so the
+        next dispatch re-reads the host mirrors (callers flush before any
+        admission/prefill, which edits state outside the chain)."""
+        while len(self._inflight) > keep:
+            self._replay(np.asarray(self._inflight.pop(0)))
+        if keep == 0:
+            self._chain = None
 
     def _replay(self, packed: np.ndarray):
         """Apply one packed device sync: emitted rows then tokens/pos/active."""

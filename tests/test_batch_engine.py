@@ -274,3 +274,25 @@ def test_spec_engine_mixed_batch_falls_back(engine_and_ref):
     assert q1.get(timeout=60).tokens == want
     r2 = q2.get(timeout=60)
     assert 1 <= len(r2.tokens) <= 16
+
+
+def test_pipeline_depth_does_not_change_streams(engine_and_ref):
+    """Pipelined sync (dispatch window k+1 before reading window k) must be
+    a pure latency optimization: token streams identical at any depth, with
+    retires + follow-on admissions happening mid-pipeline."""
+    config, params, _ = engine_and_ref
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    prompts = [[5, 7, 9], [3, 4], [11], [2, 6, 8, 10], [4]]
+
+    def serve(depth):
+        eng = BatchEngine(
+            config, params, batch_size=2, ticks_per_sync=3,
+            pipeline_depth=depth,
+        )
+        qs = [eng.submit(p, gen) for p in prompts]
+        eng.run_until_idle()
+        return [q.get(timeout=300).tokens for q in qs]
+
+    base = serve(1)
+    assert serve(2) == base
+    assert serve(3) == base
