@@ -108,7 +108,9 @@ def _tick_paged(
         [emitted, tokens[None], pos[None], active.astype(jnp.int32)[None]],
         axis=0,
     )
-    return packed, k_pool, v_pool, ks_pool, vs_pool
+    # budget returns separately so a pipelined caller can chain the next
+    # window's inputs from DEVICE arrays (see BatchEngine._dispatch_tick)
+    return packed, budget, k_pool, v_pool, ks_pool, vs_pool
 
 
 @partial(
@@ -246,6 +248,8 @@ class PagedBatchEngine(BatchEngine):
         self.max_pages = -(-config.seq_len // page_size)
         self._tables = np.zeros((batch_size, self.max_pages), np.int32)
         self._slot_pages: list[list[int]] = [[] for _ in range(batch_size)]
+        # pipelined-sync position projection (host _pos + dispatched windows)
+        self._pos_ahead = self._pos.copy()
         # vLLM-style automatic prefix caching: full prompt-prefix pages are
         # shared across requests (runtime/paged_cache.PrefixCache)
         from llama2_tpu.runtime.paged_cache import PrefixCache
@@ -332,6 +336,9 @@ class PagedBatchEngine(BatchEngine):
         self._rebuild()
 
     def _start_request(self, slot: int, req: Request):
+        # prefill writes pools/tables/mirrors outside the pipelined chain:
+        # flush any in-flight windows first (see BatchEngine._drain)
+        self._drain(0)
         # preempt-and-recompute re-admission: replay the already-emitted
         # stream (teacher-forced prefill of prompt + generated) so the
         # continuation resumes at the same position — a preempted sampled
@@ -504,16 +511,19 @@ class PagedBatchEngine(BatchEngine):
             self.metrics["requests"] += 1
             self.metrics["ttft"].append(req.ttft_s)
 
-    def _decode_tick(self):
-        K = self.ticks_per_sync
-        # ensure pages exist to cover each active slot's next K positions
-        # (frozen slots still scatter at the precomputed coords — see
-        # _tick_paged — so the whole window must be backed)
+    def _grow_tables(self, K: int) -> None:
+        """Ensure pages exist to cover each active slot's next K positions
+        from the pipelined position projection (frozen slots still scatter
+        at the precomputed coords — see _tick_paged — so the whole window
+        must be backed). On memory pressure with windows in flight, flush
+        the pipeline first (retires replayed there free pages, and pages
+        must NEVER be released while an unread window may still write them)
+        and retry before preempting."""
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
             last_idx = min(
-                (int(self._pos[slot]) + K - 1) // self.page_size,
+                (int(self._pos_ahead[slot]) + K - 1) // self.page_size,
                 self.max_pages - 1,
             )
             need = last_idx + 1 - len(self._slot_pages[slot])
@@ -521,60 +531,86 @@ class PagedBatchEngine(BatchEngine):
                 try:
                     pgs = self._alloc(need)
                 except OutOfPages:
-                    self._release_slot(slot)
-                    others = any(
-                        r is not None and s != slot
-                        for s, r in enumerate(self.slots)
-                    )
-                    if others:
-                        # preempt-and-recompute: drop this request's pages,
-                        # requeue it (head of line) to restart once a
-                        # retiring request frees memory (recompute beats
-                        # swapping on TPU: prefill is batched MXU work, host
-                        # transfers ride a slow link). req.tokens/steps are
-                        # KEPT: re-admission teacher-forces the emitted
-                        # stream so the continuation resumes in place.
-                        self.slots[slot] = None
-                        self._requeue.append(req)
-                        self.metrics["preempted"] += 1
+                    if self._inflight:
+                        self._drain(0)
+                        self._pos_ahead = self._pos.copy()
+                        if self.slots[slot] is None:
+                            continue  # retired during the flush
+                        try:
+                            pgs = self._alloc(need)
+                        except OutOfPages:
+                            self._preempt(slot, req)
+                            continue
                     else:
-                        # alone and out of memory: the pool genuinely cannot
-                        # hold this request; return what it has
-                        self._finish(slot_req=req, slot=slot)
-                    continue
+                        self._preempt(slot, req)
+                        continue
                 base = len(self._slot_pages[slot])
                 for j, pg in enumerate(pgs):
                     self._tables[slot, base + j] = pg
                 self._slot_pages[slot].extend(pgs)
-        if not any(self.slots):
-            return
 
+    def _preempt(self, slot: int, req):
+        """Out of pages for ``slot`` (pipeline already flushed): vLLM-style
+        preempt-and-recompute, or finish with what it has when alone."""
+        self._release_slot(slot)
+        others = any(
+            r is not None and s != slot for s, r in enumerate(self.slots)
+        )
+        if others:
+            # preempt-and-recompute: drop this request's pages, requeue it
+            # (head of line) to restart once a retiring request frees
+            # memory (recompute beats swapping on TPU: prefill is batched
+            # MXU work, host transfers ride a slow link). req.tokens/steps
+            # are KEPT: re-admission teacher-forces the emitted stream so
+            # the continuation resumes in place.
+            self.slots[slot] = None
+            self._requeue.append(req)
+            self.metrics["preempted"] += 1
+        else:
+            # alone and out of memory: the pool genuinely cannot hold this
+            # request; return what it has
+            self._finish(slot_req=req, slot=slot)
+
+    def _decode_tick(self):
+        K = self.ticks_per_sync
+        if self._chain is None:
+            # fresh pipeline: the host mirrors are current
+            self._pos_ahead = self._pos.copy()
+        self._grow_tables(K)
+        if not any(self.slots):
+            self._drain(0)
+            return
+        self._dispatch_tick(np.asarray([r is not None for r in self.slots]))
+        self._drain(self.pipeline_depth - 1)
+
+    def _dispatch_tick(self, active: np.ndarray):
+        """Paged twin of BatchEngine._dispatch_tick: window inputs chain
+        from the previous window's device outputs; write coords project
+        from the host-side position projection (frozen slots harmlessly
+        overwrite ahead of their final pos, within their own pages)."""
+        K = self.ticks_per_sync
         key = jax.random.fold_in(self._base_key, self._tick_idx)
         self._tick_idx += 1
-        active = np.asarray([r is not None for r in self.slots])
-        budget = np.asarray(
-            [
-                (r.steps - len(r.tokens)) if r is not None else 0
-                for r in self.slots
-            ],
-            np.int32,
-        )
-        # write coords for ticks 0..K-1 assuming every slot advances (frozen
-        # slots harmlessly overwrite ahead of their final pos)
-        win = self._pos[None, :] + np.arange(K)[:, None]  # (K, B)
+        win = self._pos_ahead[None, :] + np.arange(K)[:, None]  # (K, B)
         win = np.minimum(win, self.config.seq_len - 1)
         page_ids = self._tables[
             np.arange(self.batch_size)[None, :], win // self.page_size
         ].astype(np.int32)
         row_ids = (win % self.page_size).astype(np.int32)
+        if self._chain is not None:
+            tokens, pos, budget, chain_active = self._chain
+        else:
+            tokens = jnp.asarray(self._tokens)
+            pos = jnp.asarray(self._pos)
+            budget = jnp.asarray(self._host_budget())
+            chain_active = jnp.asarray(active)
 
-        packed, k_pool, v_pool, ks_pool, vs_pool = _tick_paged(
+        packed, budget, k_pool, v_pool, ks_pool, vs_pool = _tick_paged(
             self.params, self.pool.k, self.pool.v,
-            jnp.asarray(self._tables), jnp.asarray(self._tokens),
-            jnp.asarray(self._pos), jnp.asarray(budget),
+            jnp.asarray(self._tables), tokens, pos, budget,
             jnp.asarray(page_ids), jnp.asarray(row_ids),
             jnp.asarray(self._temp), jnp.asarray(self._topp),
-            jnp.asarray(self._argmax), jnp.asarray(active), key,
+            jnp.asarray(self._argmax), chain_active, key,
             config=self.config, precision=self.precision,
             backend=self.backend, n_ticks=K,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
@@ -582,7 +618,11 @@ class PagedBatchEngine(BatchEngine):
         )
         self.pool.k, self.pool.v = k_pool, v_pool
         self.pool.ks, self.pool.vs = ks_pool, vs_pool
-        self._replay(np.asarray(packed))  # _on_retire releases pages
+        self._chain = (packed[-3], packed[-2], budget, packed[-1].astype(bool))
+        self._inflight.append(packed)
+        self._pos_ahead = np.minimum(
+            self._pos_ahead + K, self.config.seq_len - 1
+        )
 
     def _on_retire(self, slot: int) -> None:
         self._release_slot(slot)

@@ -367,3 +367,30 @@ def test_paged_q8_preemption_completes(setup):
         assert got.tokens[: len(p)] == p
         assert len(got.tokens) <= 30
     assert eng.metrics["requests"] == len(prompts)
+
+
+def test_paged_pipeline_depth_does_not_change_streams(tiny_checkpoint):
+    """Pipelined paged sync must be a pure latency optimization: streams
+    identical at any depth, including under memory pressure (preemption
+    flushes the pipeline before releasing pages)."""
+    from llama2_tpu.io.checkpoint import load_checkpoint
+
+    path, config, _ = tiny_checkpoint
+    _, params, _ = load_checkpoint(path)
+    gen = GenerationConfig(temperature=0.0, steps=16)
+    prompts = [[5, 7, 9], [3, 4], [11], [2, 6, 8, 10], [4, 12]]
+
+    def serve(depth):
+        eng = PagedBatchEngine(
+            config, params, batch_size=2, page_size=8, n_pages=10,
+            ticks_per_sync=3, pipeline_depth=depth,
+        )
+        qs = [eng.submit(p, gen) for p in prompts]
+        eng.run_until_idle()
+        out = [q.get(timeout=300).tokens for q in qs]
+        return out, eng.metrics["preempted"]
+
+    base, _ = serve(1)
+    for depth in (2, 3):
+        got, _ = serve(depth)
+        assert got == base, depth
