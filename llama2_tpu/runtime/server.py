@@ -14,7 +14,8 @@ Endpoints:
 Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [-z tokenizer.bin] [--port 8000] [--batch-size 8] [--quant int8] \
           [--paged [--page-size 256] [--pages N] [--prefix-cache]]
-          [--ticks-per-sync K] [--kv-cache f32|int8] [--spec N]
+          [--ticks-per-sync K] [--pipeline-depth P] [--kv-cache f32|int8]
+          [--spec N]
           [--kernels xla|pallas] [--mesh DPxTP]
 
 ``--paged`` switches the KV cache to the paged layout
@@ -166,6 +167,7 @@ def main(argv=None):
     n_pages = None
     prefix_cache = False
     ticks = 1
+    pipeline_depth = 2
     kv_cache = "f32"
     spec = 0
     kernels = "xla"
@@ -201,6 +203,9 @@ def main(argv=None):
         elif a == "--ticks-per-sync":
             i += 1
             ticks = int(argv[i])
+        elif a == "--pipeline-depth":
+            i += 1
+            pipeline_depth = int(argv[i])
         elif a == "--kv-cache":
             i += 1
             kv_cache = argv[i]
@@ -288,6 +293,7 @@ def main(argv=None):
             n_pages=n_pages,
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
             ticks_per_sync=ticks,
+            pipeline_depth=pipeline_depth,
             backend=kernels,
             kv_quant=kv_cache == "int8",
             mesh=mesh,
@@ -300,6 +306,7 @@ def main(argv=None):
             batch_size=batch,
             dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
             ticks_per_sync=ticks,
+            pipeline_depth=pipeline_depth,
             kv_quant=kv_cache == "int8",
             spec_window=spec,
             backend=kernels,
