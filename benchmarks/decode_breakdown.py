@@ -333,10 +333,12 @@ def main(argv=None) -> int:
     report("  qkv launch (norm fused)", dt_qkv, w_qkv)
     dt_attn = _diff_timed(layer_loop_stage(attn_fn, carry_caches=True), K)
     report("  attention+append (composed)", dt_attn, kv_read)
-    dt_attn_f = _diff_timed(
-        layer_loop_stage(attn_fused_fn, carry_caches=True), K
-    )
-    report("  attention block (glue-fused)", dt_attn_f, kv_read)
+    dt_attn_f = None
+    if hs % 128 == 0:  # the fused kernels' compiled-path gate
+        dt_attn_f = _diff_timed(
+            layer_loop_stage(attn_fused_fn, carry_caches=True), K
+        )
+        report("  attention block (glue-fused)", dt_attn_f, kv_read)
     dt_wo = _diff_timed(layer_loop_stage(wo_fn), K)
     report("  wo launch (residual fused)", dt_wo, w_o)
     dt_ffn = _diff_timed(layer_loop_stage(ffn_fn), K)
@@ -356,12 +358,20 @@ def main(argv=None) -> int:
     dt_log = _diff_timed(logits_stage(), K)
     report("  logits+argmax", dt_log, w_cls)
 
-    if dt_tail is not None:
+    if dt_tail is not None and dt_attn_f is not None:
         # 2-launch model path: attention + tail per layer, one qkv0 launch
         # and the classifier per step
         glue = dt_tick - (dt_attn_f + dt_tail + dt_log + dt_qkv / L)
+    elif dt_attn_f is None:
+        # lane-padded model: the composed path is what the model runs
+        glue = dt_tick - (dt_qkv + dt_attn + dt_wo + dt_ffn + dt_log)
     else:
+        # fused attention without the tail kernel (odd Dq/HD tiling): the
+        # model runs fused-attn + wo + FFN megakernel — no standalone-qkv
+        # or split-FFN stage matches it exactly; report against the closest
+        # decomposition and label it approximate
         glue = dt_tick - (dt_qkv + dt_attn_f + dt_wo + dt_ffn + dt_log)
+        print("  (residual approximate: model runs fused-attn + wo+FFN)")
     print(f"{'  residual (XLA glue/dispatch)':34s} {glue * 1e3:8.3f} ms/step")
     return 0
 

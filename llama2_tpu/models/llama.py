@@ -298,52 +298,9 @@ def _layer_decode_stacked(
                 n_heads=H, scale=1.0 / (hs**0.5),
             )
         att = att.reshape(B, T, D)
-        from llama2_tpu.ops.pallas.mlp_block import (
-            attn_mlp_block_supported,
-            attn_mlp_block_stacked,
+        x = _post_attention(
+            x, att, layer_params, config, precision, backend, quant_idx
         )
-
-        if use_mlp_block(layer_params, backend) and attn_mlp_block_supported(
-            layer_params["wo"], layer_params["w1"], layer_params["w3"],
-            layer_params["w2"],
-        ):
-            # wo + FFN in ONE launch (the whole post-attention half of the
-            # layer): r = x + att@wo, out = r + swiglu(rmsnorm(r)@w1,@w3)@w2
-            x = attn_mlp_block_stacked(
-                att, x, layer_params["wo"], layer_params["rms_ffn"],
-                layer_params["w1"], layer_params["w3"], layer_params["w2"],
-                quant_idx, config.norm_eps,
-            )
-            if kv_quant:
-                return x, (k_cache, ks_cache, v_cache, vs_cache)
-            return x, (k_cache, v_cache)
-        if isinstance(layer_params["wo"], QuantTensor):
-            x = quant_matmul_stacked(
-                att, layer_params["wo"], quant_idx, residual=x
-            )
-        else:
-            x = x + linear(att, layer_params["wo"], precision, backend, quant_idx)
-        if use_mlp_block(layer_params, backend):
-            from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
-
-            x = mlp_block_stacked(
-                x, layer_params["rms_ffn"], layer_params["w1"],
-                layer_params["w3"], layer_params["w2"], quant_idx,
-                config.norm_eps,
-            )
-        else:
-            xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
-            if "w13" in layer_params:
-                HD = layer_params["w13"].shape[-1] // 2
-                h13 = linear(xb, layer_params["w13"], precision, backend, quant_idx)
-                h1, h3 = h13[..., :HD], h13[..., HD:]
-            else:
-                h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
-                h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
-            x = x + linear(
-                ops.swiglu(h1, h3), layer_params["w2"], precision, backend,
-                quant_idx,
-            )
         if kv_quant:
             return x, (k_cache, ks_cache, v_cache, vs_cache)
         return x, (k_cache, v_cache)
@@ -467,43 +424,81 @@ def _layer_decode_stacked(
         )
 
     att = att[..., :hs].reshape(B, T, D)
-    if fuse_glue and isinstance(layer_params["wo"], QuantTensor):
-        # residual add fused into the wo launch (quant_matmul epilogue)
-        from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+    x = _post_attention(
+        x, att, layer_params, config, precision, backend, quant_idx
+    )
+    if kv_quant:
+        return x, (k_cache, ks_cache, v_cache, vs_cache)
+    return x, (k_cache, v_cache)
 
-        x = quant_matmul_stacked(
-            att, layer_params["wo"], quant_idx, residual=x
-        )
-    else:
-        x = x + linear(att, layer_params["wo"], precision, backend, quant_idx)
 
+def _post_attention(
+    x, att, layer_params, config: ModelConfig, precision, backend: str,
+    quant_idx,
+):
+    """Shared post-attention epilogue of a decode layer: wo projection +
+    FFN block, preferring the launch-minimal kernels in order — the
+    wo+FFN megakernel (one launch), then fused-residual wo + the FFN
+    megakernel (two), then the composed wo / rmsnorm / w13 / swiglu / w2
+    path (the XLA and fp-weight fallback)."""
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    wo = layer_params["wo"]
+    wo_stacked = (
+        backend == "pallas"
+        and quant_idx is not None
+        and isinstance(wo, QuantTensor)
+        and wo.q.ndim == 3
+    )
     if quant_idx is not None and use_mlp_block(layer_params, backend):
+        from llama2_tpu.ops.pallas.mlp_block import (
+            attn_mlp_block_stacked,
+            attn_mlp_block_supported,
+            mlp_block_stacked,
+        )
+
+        if attn_mlp_block_supported(
+            wo, layer_params["w1"], layer_params["w3"], layer_params["w2"]
+        ):
+            # wo + FFN in ONE launch (the whole post-attention half of the
+            # layer): r = x + att@wo, out = r + swiglu(rmsnorm(r)@w1,@w3)@w2
+            return attn_mlp_block_stacked(
+                att, x, wo, layer_params["rms_ffn"], layer_params["w1"],
+                layer_params["w3"], layer_params["w2"], quant_idx,
+                config.norm_eps,
+            )
+        if wo_stacked:
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            x = quant_matmul_stacked(att, wo, quant_idx, residual=x)
+        else:
+            x = x + linear(att, wo, precision, backend, quant_idx)
         # whole FFN block in one launch: rmsnorm + w1/w3 + swiglu + w2 +
         # residual fused (ops/pallas/mlp_block.py) — activations stay in
         # VMEM, weights stream once, 2 launches + 3 XLA ops become 1 launch
-        from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
-
-        x = mlp_block_stacked(
+        return mlp_block_stacked(
             x, layer_params["rms_ffn"], layer_params["w1"],
             layer_params["w3"], layer_params["w2"], quant_idx,
             config.norm_eps,
         )
+    if wo_stacked:
+        # residual add fused into the wo launch (quant_matmul epilogue)
+        from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+        x = quant_matmul_stacked(att, wo, quant_idx, residual=x)
     else:
-        xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
-        if "w13" in layer_params:
-            HD = layer_params["w13"].shape[-1] // 2
-            h13 = linear(xb, layer_params["w13"], precision, backend, quant_idx)
-            h1, h3 = h13[..., :HD], h13[..., HD:]
-        else:
-            h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
-            h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
-        x = x + linear(
-            ops.swiglu(h1, h3), layer_params["w2"], precision, backend,
-            quant_idx,
-        )
-    if kv_quant:
-        return x, (k_cache, ks_cache, v_cache, vs_cache)
-    return x, (k_cache, v_cache)
+        x = x + linear(att, wo, precision, backend, quant_idx)
+    xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
+    if "w13" in layer_params:
+        HD = layer_params["w13"].shape[-1] // 2
+        h13 = linear(xb, layer_params["w13"], precision, backend, quant_idx)
+        h1, h3 = h13[..., :HD], h13[..., HD:]
+    else:
+        h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
+        h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
+    return x + linear(
+        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, quant_idx
+    )
 
 
 _LAYER_KEYS = ("rms_att", "wq", "wk", "wv", "wo", "rms_ffn", "w1", "w2", "w3")

@@ -222,46 +222,11 @@ def paged_forward_step(
                     n_heads=H, scale=1.0 / (hs_real**0.5),
                 )
             att = att.reshape(B, 1, config.dim)
-            from llama2_tpu.models.llama import use_mlp_block
-            from llama2_tpu.ops.pallas.mlp_block import (
-                attn_mlp_block_supported,
-                attn_mlp_block_stacked,
+            from llama2_tpu.models.llama import _post_attention
+
+            x = _post_attention(
+                x, att, lp, config, precision, backend, li
             )
-
-            if use_mlp_block(lp, backend) and attn_mlp_block_supported(
-                lp["wo"], lp["w1"], lp["w3"], lp["w2"]
-            ):
-                # wo + FFN in one launch (see llama._layer_decode_stacked)
-                x = attn_mlp_block_stacked(
-                    att, x, lp["wo"], lp["rms_ffn"], lp["w1"], lp["w3"],
-                    lp["w2"], li, config.norm_eps,
-                )
-                if kv_quant:
-                    return (x, k_pool, ks_pool, v_pool, vs_pool), None
-                return (x, k_pool, v_pool), None
-            if isinstance(lp["wo"], QuantTensor):
-                x = quant_matmul_stacked(att, lp["wo"], li, residual=x)
-            else:
-                x = x + linear(att, lp["wo"], precision, backend, li)
-            if use_mlp_block(lp, backend):
-                from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
-
-                x = mlp_block_stacked(
-                    x, lp["rms_ffn"], lp["w1"], lp["w3"], lp["w2"], li,
-                    config.norm_eps,
-                )
-            else:
-                xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
-                if "w13" in lp:
-                    HD = lp["w13"].shape[-1] // 2
-                    h13 = linear(xb, lp["w13"], precision, backend, li)
-                    h1, h3 = h13[..., :HD], h13[..., HD:]
-                else:
-                    h1 = linear(xb, lp["w1"], precision, backend, li)
-                    h3 = linear(xb, lp["w3"], precision, backend, li)
-                x = x + linear(
-                    ops.swiglu(h1, h3), lp["w2"], precision, backend, li
-                )
             if kv_quant:
                 return (x, k_pool, ks_pool, v_pool, vs_pool), None
             return (x, k_pool, v_pool), None
@@ -382,32 +347,9 @@ def paged_forward_step(
                 table, pos, scale=scale,
             )
         att = att[..., :hs_real].reshape(B, 1, config.dim)
-        if fuse_glue and isinstance(lp["wo"], QuantTensor):
-            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+        from llama2_tpu.models.llama import _post_attention
 
-            x = quant_matmul_stacked(att, lp["wo"], li, residual=x)
-        else:
-            x = x + linear(att, lp["wo"], precision, backend, li)
-        from llama2_tpu.models.llama import use_mlp_block
-
-        if li is not None and use_mlp_block(lp, backend):
-            # fused FFN megakernel (see _layer_decode_stacked)
-            from llama2_tpu.ops.pallas.mlp_block import mlp_block_stacked
-
-            x = mlp_block_stacked(
-                x, lp["rms_ffn"], lp["w1"], lp["w3"], lp["w2"], li,
-                config.norm_eps,
-            )
-        else:
-            xb = ops.rmsnorm(x, lp["rms_ffn"], config.norm_eps)
-            if "w13" in lp:
-                HD = lp["w13"].shape[-1] // 2
-                h13 = linear(xb, lp["w13"], precision, backend, li)
-                h1, h3 = h13[..., :HD], h13[..., HD:]
-            else:
-                h1 = linear(xb, lp["w1"], precision, backend, li)
-                h3 = linear(xb, lp["w3"], precision, backend, li)
-            x = x + linear(ops.swiglu(h1, h3), lp["w2"], precision, backend, li)
+        x = _post_attention(x, att, lp, config, precision, backend, li)
         if kv_quant:
             return (x, k_pool, ks_pool, v_pool, vs_pool), None
         return (x, k_pool, v_pool), None

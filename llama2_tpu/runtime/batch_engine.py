@@ -520,6 +520,8 @@ class BatchEngine:
         self.cache = self._make_cache()
 
     def _fail_all(self, err: Exception):
+        self._inflight = []  # references the device state being discarded
+        self._chain = None
         for slot, req in enumerate(self.slots):
             if req is not None:
                 req.result_q.put(err)
@@ -652,7 +654,11 @@ class BatchEngine:
         ):
             # the speculative tick reads per-slot histories from the host —
             # it cannot chain on device, so flush any pipelined syncs first
+            # (the replays may retire slots: recompute the mask after)
             self._drain(0)
+            active = np.asarray([r is not None for r in self.slots])
+            if not active.any():
+                return
             key = jax.random.fold_in(self._base_key, self._tick_idx)
             self._tick_idx += 1
             budget = self._host_budget()

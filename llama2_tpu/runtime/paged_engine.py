@@ -320,6 +320,8 @@ class PagedBatchEngine(BatchEngine):
         self.pool.release([p for p in pages if not self.prefix.release(p)])
 
     def _fail_all(self, err: Exception):
+        self._inflight = []  # references the device state being discarded
+        self._chain = None
         for slot, req in enumerate(self.slots):
             if req is not None:
                 req.result_q.put(err)
@@ -536,6 +538,16 @@ class PagedBatchEngine(BatchEngine):
                         self._pos_ahead = self._pos.copy()
                         if self.slots[slot] is None:
                             continue  # retired during the flush
+                        # the flush reset _pos_ahead: recompute the true
+                        # requirement (the projected one was windows ahead)
+                        last_idx = min(
+                            (int(self._pos_ahead[slot]) + K - 1)
+                            // self.page_size,
+                            self.max_pages - 1,
+                        )
+                        need = last_idx + 1 - len(self._slot_pages[slot])
+                        if need <= 0:
+                            continue
                         try:
                             pgs = self._alloc(need)
                         except OutOfPages:
