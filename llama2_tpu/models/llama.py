@@ -674,8 +674,7 @@ def forward(
                 rms_w=params["rms_att"][0], eps=config.norm_eps,
             )
 
-            def dbody_tail(carry, idx):
-                x, qkv, caches = carry
+            def fused_attention(qkv, caches, idx):
                 qkv3 = qkv[:, 0].reshape(B, H + 2 * KVH, hs)
                 if kv_quant:
                     from llama2_tpu.ops.pallas.attention_q8 import (
@@ -689,18 +688,21 @@ def forward(
                             idx, pvec, n_heads=H, scale=scale,
                         )
                     )
-                    caches = (k_c, ks_c, v_c, vs_c)
-                else:
-                    from llama2_tpu.ops.pallas.attention import (
-                        flash_decode_attention_fused,
-                    )
+                    return att, (k_c, ks_c, v_c, vs_c)
+                from llama2_tpu.ops.pallas.attention import (
+                    flash_decode_attention_fused,
+                )
 
-                    k_c, v_c = caches
-                    att, k_c, v_c = flash_decode_attention_fused(
-                        qkv3, k_c, v_c, cos_il, sin_il, idx, pvec,
-                        n_heads=H, scale=scale,
-                    )
-                    caches = (k_c, v_c)
+                k_c, v_c = caches
+                att, k_c, v_c = flash_decode_attention_fused(
+                    qkv3, k_c, v_c, cos_il, sin_il, idx, pvec,
+                    n_heads=H, scale=scale,
+                )
+                return att, (k_c, v_c)
+
+            def dbody_tail(carry, idx):
+                x, qkv, caches = carry
+                att, caches = fused_attention(qkv, caches, idx)
                 x, qkv = layer_tail_qkv_stacked(
                     att.reshape(B, T, D), x, stacked["wo"],
                     params["rms_ffn"], stacked["w1"], stacked["w3"],
@@ -709,8 +711,22 @@ def forward(
                 )
                 return (x, qkv, caches), None
 
-            (x, _, caches), _ = jax.lax.scan(
-                dbody_tail, (x, qkv0, caches), idxs, unroll=unroll
+            # scan the first L-1 layers; the LAST layer runs unrolled with
+            # the no-qkv megakernel — the tail kernel's trailing phase would
+            # stream a duplicate (clamped) Wqkv that no one consumes
+            from llama2_tpu.ops.pallas.mlp_block import attn_mlp_block_stacked
+
+            (x, qkv_last, caches), _ = jax.lax.scan(
+                dbody_tail, (x, qkv0, caches), idxs[:-1], unroll=unroll
+            )
+            att, caches = fused_attention(
+                qkv_last, caches, jnp.int32(config.n_layers - 1)
+            )
+            x = attn_mlp_block_stacked(
+                att.reshape(B, T, D), x, stacked["wo"],
+                params["rms_ffn"][config.n_layers - 1], stacked["w1"],
+                stacked["w3"], stacked["w2"], jnp.int32(config.n_layers - 1),
+                config.norm_eps,
             )
         else:
 

@@ -119,54 +119,65 @@ def paged_forward_step(
             rms_w=params["rms_att"][0], eps=config.norm_eps,
         )
 
-        def body_tail(carry, idx):
-            if kv_quant:
-                x, qkv, k_pool, ks_pool, v_pool, vs_pool = carry
-            else:
-                x, qkv, k_pool, v_pool = carry
+        def fused_attention(qkv, pools, idx):
             qkv3 = qkv[:, 0].reshape(B, H_ + 2 * KVH_, hs_)
             if kv_quant:
                 from llama2_tpu.ops.pallas.paged_attention import (
                     paged_decode_attention_q8_fused,
                 )
 
-                att, k_pool, ks_pool, v_pool, vs_pool = (
-                    paged_decode_attention_q8_fused(
-                        qkv3, k_pool, ks_pool, v_pool, vs_pool, table,
-                        cos_il, sin_il, page_ids, row_ids, idx, pos,
-                        n_heads=H_, scale=scale,
-                    )
+                kp, ksp, vp, vsp = pools
+                att, kp, ksp, vp, vsp = paged_decode_attention_q8_fused(
+                    qkv3, kp, ksp, vp, vsp, table,
+                    cos_il, sin_il, page_ids, row_ids, idx, pos,
+                    n_heads=H_, scale=scale,
                 )
-            else:
-                from llama2_tpu.ops.pallas.paged_attention import (
-                    paged_decode_attention_fused,
-                )
+                return att, (kp, ksp, vp, vsp)
+            from llama2_tpu.ops.pallas.paged_attention import (
+                paged_decode_attention_fused,
+            )
 
-                att, k_pool, v_pool = paged_decode_attention_fused(
-                    qkv3, k_pool, v_pool, table, cos_il, sin_il,
-                    page_ids, row_ids, idx, pos, n_heads=H_, scale=scale,
-                )
+            kp, vp = pools
+            att, kp, vp = paged_decode_attention_fused(
+                qkv3, kp, vp, table, cos_il, sin_il,
+                page_ids, row_ids, idx, pos, n_heads=H_, scale=scale,
+            )
+            return att, (kp, vp)
+
+        def body_tail(carry, idx):
+            x, qkv, pools = carry
+            att, pools = fused_attention(qkv, pools, idx)
             x, qkv = layer_tail_qkv_stacked(
                 att.reshape(B, 1, D), x, stacked["wo"], params["rms_ffn"],
                 stacked["w1"], stacked["w3"], stacked["w2"],
                 params["rms_att"], stacked["wqkv"], idx, config.norm_eps,
             )
-            if kv_quant:
-                return (x, qkv, k_pool, ks_pool, v_pool, vs_pool), None
-            return (x, qkv, k_pool, v_pool), None
+            return (x, qkv, pools), None
+
+        # scan the first L-1 layers; the LAST layer runs unrolled with the
+        # no-qkv megakernel (the trailing clamped Wqkv stream is waste)
+        from llama2_tpu.ops.pallas.mlp_block import attn_mlp_block_stacked
 
         idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
-        if kv_quant:
-            (x, _, k_pool, ks_pool, v_pool, vs_pool), _ = jax.lax.scan(
-                body_tail, (x, qkv0, k_pool, ks_pool, v_pool, vs_pool),
-                idxs, unroll=unroll,
-            )
-            x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
-            return x, k_pool, ks_pool, v_pool, vs_pool
-        (x, _, k_pool, v_pool), _ = jax.lax.scan(
-            body_tail, (x, qkv0, k_pool, v_pool), idxs, unroll=unroll
+        pools = (
+            (k_pool, ks_pool, v_pool, vs_pool) if kv_quant
+            else (k_pool, v_pool)
+        )
+        (x, qkv_last, pools), _ = jax.lax.scan(
+            body_tail, (x, qkv0, pools), idxs[:-1], unroll=unroll
+        )
+        last = jnp.int32(config.n_layers - 1)
+        att, pools = fused_attention(qkv_last, pools, last)
+        x = attn_mlp_block_stacked(
+            att.reshape(B, 1, D), x, stacked["wo"],
+            params["rms_ffn"][config.n_layers - 1], stacked["w1"],
+            stacked["w3"], stacked["w2"], last, config.norm_eps,
         )
         x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+        if kv_quant:
+            k_pool, ks_pool, v_pool, vs_pool = pools
+            return x, k_pool, ks_pool, v_pool, vs_pool
+        k_pool, v_pool = pools
         return x, k_pool, v_pool
 
     def body(carry, xs):
