@@ -503,12 +503,20 @@ def attn_mlp_block_stacked(
 
 
 def _pick_bkq(D: int, Dq: int, Gq: int) -> int:
-    """K tile for the next-qkv phase: whole groups, 8-aligned group count,
-    dividing D, and a (bkq, Dq) int8 tile within the stream-size cap."""
-    cap = max(Gq, min(512, _FAST_TILE_BYTES // max(Dq, 1)))
+    """K tile for the next-qkv phase: whole groups, Mosaic-legal scale
+    block (group count % 8 == 0, or the tile covers all of D), dividing D.
+    The full qkv width Dq rides in one tile, so the byte cap is its OWN
+    bound (8 MiB double-buffered — NOT _FAST_TILE_BYTES, whose 4 MiB cap
+    would reject Llama-7B's (512, 12288) = 6 MiB tile and silently disable
+    the whole two-launch layer)."""
+    cap = min(512, D)
     bk = (cap // Gq) * Gq
     while bk >= Gq:
-        if D % bk == 0 and ((bk // Gq) % 8 == 0 or bk == D):
+        if (
+            D % bk == 0
+            and ((bk // Gq) % 8 == 0 or bk == D)
+            and bk * Dq <= 8 * 1024 * 1024
+        ):
             return bk
         bk -= Gq
     return 0
