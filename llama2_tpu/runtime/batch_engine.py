@@ -54,6 +54,7 @@ class Request:
     ttft_s: float | None = None
     steps: int = 0
     retries: int = 0  # engine-recovery re-executions consumed
+    sample_key: "np.ndarray | None" = None  # per-request PRNG base key
 
 
 @dataclasses.dataclass
@@ -72,24 +73,33 @@ def _first_token(logits, temperature, top_p, key, *, mode: int):
     return sampling.sample(logits, mode, temperature, top_p, key)
 
 
-def _sample_batched(logits, temperature, top_p, use_argmax, key, stochastic=True):
+def _sample_batched(logits, temperature, top_p, use_argmax, keys, stochastic=True):
     """Per-slot sampler: argmax or nucleus, selected by runtime flag.
 
-    ``stochastic=False`` (static) skips the nucleus path entirely: the
-    full-vocab sort costs ~4 ms/tick for 8 slots and would otherwise run
-    (then be discarded by the where) even for all-argmax batches.
+    ``keys``: per-slot (B, 2) PRNG keys — derived as
+    ``fold_in(PRNGKey(request_seed), position)`` so a request's stochastic
+    stream depends only on its own seed and emitted length, never on slot
+    placement, batch composition, window boundaries, or sync pipelining
+    (the same scheme as the first-token sampler and the single-stream
+    Generator). ``stochastic=False`` (static) skips the nucleus path
+    entirely: the full-vocab sort costs ~4 ms/tick for 8 slots and would
+    otherwise run (then be discarded by the where) even for all-argmax
+    batches.
     """
     greedy = sampling.sample_argmax(logits)
     if not stochastic:
         return greedy
-    B = logits.shape[0]
-    keys = jax.random.split(key, B)
     probs = sampling.probs_from_logits(logits, temperature[:, None])
     # top_p in {0,1} degenerates to plain multinomial (nucleus = full vocab),
     # so one nucleus sampler covers both stochastic modes per slot.
     p_eff = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)
     drawn = jax.vmap(sampling.sample_top_p)(probs, p_eff, keys)
     return jnp.where(use_argmax, greedy, drawn).astype(jnp.int32)
+
+
+def _slot_keys(base_keys, pos):
+    """Per-slot sampling keys at the slots' current input positions."""
+    return jax.vmap(jax.random.fold_in)(base_keys, pos)
 
 
 @partial(
@@ -223,7 +233,7 @@ def _tick(
     top_p,  # (B,) f32
     use_argmax,  # (B,) bool
     active,  # (B,) bool
-    key,
+    base_keys,  # (B, 2) per-request PRNGKey(seed) — folded by position
     *,
     config: ModelConfig,
     precision,
@@ -252,7 +262,7 @@ def _tick(
         logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
         nxt = _sample_batched(
             logits, temperature, top_p, use_argmax,
-            jax.random.fold_in(key, i), stochastic,
+            _slot_keys(base_keys, pos), stochastic,
         )
         emitted = jnp.where(active, nxt, -1)
         is_bos = nxt == BOS
@@ -398,6 +408,12 @@ class BatchEngine:
         self._argmax = np.zeros(batch_size, bool)
         self._base_key = jax.random.PRNGKey(default_seed)
         self._tick_idx = 0
+        # per-slot PRNGKey(request_seed) mirrors: sampling keys fold these
+        # by position, so stochastic streams are scheduler-independent
+        self._seed_keys = np.array(
+            jax.vmap(jax.random.PRNGKey)(jnp.zeros(batch_size, jnp.uint32))
+        )
+        self._admit_count = 0  # unseeded requests get a distinct derived seed
         # pipelined sync state: dispatched-but-unread packed outputs, and
         # the last window's (tokens, pos, budget, active) DEVICE arrays the
         # next window chains from (see _dispatch_tick/_drain)
@@ -622,6 +638,7 @@ class BatchEngine:
         self.slots[slot] = req
         self._tokens[slot] = first
         self._pos[slot] = pos
+        self._seed_keys[slot] = self._request_key(req)
         self._temp[slot] = req.gen.temperature if req.gen.temperature > 0 else 1.0
         self._topp[slot] = min(max(req.gen.top_p, 0.0), 1.0)
         self._argmax[slot] = req.gen.temperature == 0.0
@@ -633,9 +650,7 @@ class BatchEngine:
         """Sample the first generated token from device logits (scalar fetch)."""
         gen = req.gen
         mode = sampling.choose_mode(gen.temperature, gen.top_p)
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(gen.seed if gen.seed is not None else 0), pos
-        )
+        key = jax.random.fold_in(jnp.asarray(self._request_key(req)), pos)
         tok = _first_token(
             jnp.asarray(logits),
             jnp.float32(gen.temperature if gen.temperature > 0 else 1.0),
@@ -689,6 +704,21 @@ class BatchEngine:
         # overlaps the NEXT window's device execution
         self._drain(self.pipeline_depth - 1)
 
+    def _request_key(self, req: Request) -> np.ndarray:
+        """The request's PRNG base key: PRNGKey(seed) when seeded, else a
+        distinct key folded from the engine seed and an admission counter.
+        Pinned on the Request at FIRST admission so preemption/recovery
+        re-admissions resume the SAME stochastic stream."""
+        if req.sample_key is None:
+            if req.gen.seed is not None:
+                req.sample_key = np.asarray(jax.random.PRNGKey(req.gen.seed))
+            else:
+                req.sample_key = np.asarray(
+                    jax.random.fold_in(self._base_key, self._admit_count)
+                )
+            self._admit_count += 1
+        return req.sample_key
+
     def _host_budget(self) -> np.ndarray:
         return np.asarray(
             [
@@ -705,7 +735,6 @@ class BatchEngine:
         (BOS/budget) makes dispatching ahead of the replay safe — a slot
         that retired in an unread window is frozen on device and emits -1.
         """
-        key = jax.random.fold_in(self._base_key, self._tick_idx)
         self._tick_idx += 1
         if self._chain is not None:
             tokens, pos, budget, chain_active = self._chain
@@ -724,7 +753,7 @@ class BatchEngine:
             jnp.asarray(self._topp),
             jnp.asarray(self._argmax),
             chain_active,
-            key,
+            jnp.asarray(self._seed_keys),
             config=self.config,
             precision=self.precision,
             backend=self.backend,

@@ -36,6 +36,7 @@ from llama2_tpu.runtime.batch_engine import (
     BatchEngine,
     Request,
     _sample_batched,
+    _slot_keys,
 )
 from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool
 
@@ -48,7 +49,7 @@ from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool
 def _tick_paged(
     params, k_pool, v_pool, table, tokens, pos, budget,
     page_ids, row_ids,  # (n_ticks, B): precomputed write coords per tick
-    temperature, top_p, use_argmax, active, key,
+    temperature, top_p, use_argmax, active, base_keys,
     *, config: ModelConfig, precision, backend: str,
     n_ticks: int = 1, stochastic: bool = True,
     ks_pool=None, vs_pool=None,  # per-row scale pools (INT8 KV)
@@ -80,7 +81,7 @@ def _tick_paged(
         logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
         nxt = _sample_batched(
             logits, temperature, top_p, use_argmax,
-            jax.random.fold_in(key, i), stochastic,
+            _slot_keys(base_keys, pos), stochastic,
         )
         emitted = jnp.where(active, nxt, -1)
         advance = active & (nxt != BOS)
@@ -506,6 +507,7 @@ class PagedBatchEngine(BatchEngine):
         self._tables[slot, : len(full)] = full
         self._tokens[slot] = first
         self._pos[slot] = pos
+        self._seed_keys[slot] = self._request_key(req)
         self._temp[slot] = req.gen.temperature if req.gen.temperature > 0 else 1.0
         self._topp[slot] = min(max(req.gen.top_p, 0.0), 1.0)
         self._argmax[slot] = req.gen.temperature == 0.0
@@ -601,7 +603,6 @@ class PagedBatchEngine(BatchEngine):
         from the host-side position projection (frozen slots harmlessly
         overwrite ahead of their final pos, within their own pages)."""
         K = self.ticks_per_sync
-        key = jax.random.fold_in(self._base_key, self._tick_idx)
         self._tick_idx += 1
         win = self._pos_ahead[None, :] + np.arange(K)[:, None]  # (K, B)
         win = np.minimum(win, self.config.seq_len - 1)
@@ -622,7 +623,8 @@ class PagedBatchEngine(BatchEngine):
             jnp.asarray(self._tables), tokens, pos, budget,
             jnp.asarray(page_ids), jnp.asarray(row_ids),
             jnp.asarray(self._temp), jnp.asarray(self._topp),
-            jnp.asarray(self._argmax), chain_active, key,
+            jnp.asarray(self._argmax), chain_active,
+            jnp.asarray(self._seed_keys),
             config=self.config, precision=self.precision,
             backend=self.backend, n_ticks=K,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,

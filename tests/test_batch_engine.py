@@ -296,3 +296,23 @@ def test_pipeline_depth_does_not_change_streams(engine_and_ref):
     base = serve(1)
     assert serve(2) == base
     assert serve(3) == base
+
+
+def test_pipeline_depth_invariant_for_sampled_streams(engine_and_ref):
+    """Depth-invariance must also hold for stochastic sampling: window keys
+    derive from the dispatch counter, which advances identically at any
+    pipeline depth."""
+    config, params, _ = engine_and_ref
+    gen = GenerationConfig(temperature=0.9, top_p=0.85, steps=10, seed=7)
+    prompts = [[5, 17], [320, 9], [7]]
+
+    def serve(depth):
+        eng = BatchEngine(
+            config, params, batch_size=2, ticks_per_sync=2,
+            pipeline_depth=depth, default_seed=7,
+        )
+        qs = [eng.submit(p, gen) for p in prompts]
+        eng.run_until_idle()
+        return [q.get(timeout=300).tokens for q in qs]
+
+    assert serve(3) == serve(1)
