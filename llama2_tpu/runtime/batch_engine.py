@@ -220,7 +220,7 @@ def _tick_spec(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic"),
+    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic", "unroll"),
     donate_argnames=("cache",),
 )
 def _tick(
@@ -240,6 +240,7 @@ def _tick(
     backend: str,
     n_ticks: int = 1,
     stochastic: bool = True,
+    unroll: int = 1,
 ):
     """Run ``n_ticks`` batched decode steps on device per host sync.
 
@@ -257,7 +258,8 @@ def _tick(
     def step(carry, i):
         tokens, pos, budget, active, cache = carry
         hidden, cache = forward(
-            params, cache, tokens[:, None], pos, config, precision, backend
+            params, cache, tokens[:, None], pos, config, precision, backend,
+            unroll,
         )
         logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
         nxt = _sample_batched(
@@ -386,6 +388,9 @@ class BatchEngine:
 
             self.params = shard_params(self.params, mesh)
         self.lane_pad = backend.startswith("pallas") and config.head_size % 128 != 0
+        # layer-scan unroll rule (see Generator): full for shallow models,
+        # rolled for deep pallas-heavy bodies (CLAUDE.md)
+        self.layer_unroll = config.n_layers if config.n_layers <= 8 else 1
         # int8 KV cache: 4x more slots per HBM byte (attention_q8 kernel)
         self.kv_quant = kv_quant
         # spec_window >= 2: greedy speculative windows (ticks_per_sync then
@@ -511,6 +516,9 @@ class BatchEngine:
         of newer arrivals — re-admission teacher-forces each request's
         already-emitted stream so it resumes in place. The waiting queue is
         untouched (those requests held no device state)."""
+        # count BEFORE delivering any error: a caller woken by result_q.put
+        # may read metrics immediately
+        self.metrics["recoveries"] = self.metrics.get("recoveries", 0) + 1
         survivors = []
         for slot, req in enumerate(self.slots):
             if req is None:
@@ -525,7 +533,6 @@ class BatchEngine:
             # requeued-but-unadmitted requests held no device state; keep them
             survivors.append(req)
         self._requeue = survivors
-        self.metrics["recoveries"] = self.metrics.get("recoveries", 0) + 1
         # pipelined syncs reference the poisoned device state: drop them
         self._inflight = []
         self._chain = None
@@ -759,6 +766,7 @@ class BatchEngine:
             backend=self.backend,
             n_ticks=self.ticks_per_sync,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
+            unroll=self.layer_unroll,
         )
         self._chain = (packed[-3], packed[-2], budget, packed[-1].astype(bool))
         self._inflight.append(packed)

@@ -43,7 +43,7 @@ from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic"),
+    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic", "unroll"),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
 )
 def _tick_paged(
@@ -51,7 +51,7 @@ def _tick_paged(
     page_ids, row_ids,  # (n_ticks, B): precomputed write coords per tick
     temperature, top_p, use_argmax, active, base_keys,
     *, config: ModelConfig, precision, backend: str,
-    n_ticks: int = 1, stochastic: bool = True,
+    n_ticks: int = 1, stochastic: bool = True, unroll: int = 1,
     ks_pool=None, vs_pool=None,  # per-row scale pools (INT8 KV)
 ):
     """n_ticks paged decode steps per host sync (see batch_engine._tick for
@@ -70,13 +70,13 @@ def _tick_paged(
             hidden, k_pool, ks_pool, v_pool, vs_pool = paged_forward_step(
                 params, k_pool, v_pool, table, tokens, pos,
                 page_ids[i], row_ids[i], config, precision, backend,
-                ks_pool=ks_pool, vs_pool=vs_pool,
+                unroll, ks_pool=ks_pool, vs_pool=vs_pool,
             )
         else:
             tokens, pos, budget, active, k_pool, v_pool = carry
             hidden, k_pool, v_pool = paged_forward_step(
                 params, k_pool, v_pool, table, tokens, pos,
-                page_ids[i], row_ids[i], config, precision, backend,
+                page_ids[i], row_ids[i], config, precision, backend, unroll,
             )
         logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
         nxt = _sample_batched(
@@ -628,6 +628,7 @@ class PagedBatchEngine(BatchEngine):
             config=self.config, precision=self.precision,
             backend=self.backend, n_ticks=K,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
+            unroll=self.layer_unroll,
             ks_pool=self.pool.ks, vs_pool=self.pool.vs,
         )
         self.pool.k, self.pool.v = k_pool, v_pool
