@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=48)
     ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--ticks-per-sync", type=int, default=1)
+    ap.add_argument("--pipeline-depth", type=int, default=2)
     ap.add_argument("--spec", type=int, default=0)
     ap.add_argument("--kv-cache", default="f32", choices=("f32", "int8"))
     ap.add_argument("--kernels", default="xla", choices=("xla", "pallas"))
@@ -69,6 +70,7 @@ def main() -> None:
             config, params, batch_size=args.batch_size,
             page_size=min(args.page_size, config.seq_len),
             ticks_per_sync=args.ticks_per_sync,
+            pipeline_depth=args.pipeline_depth,
             backend=args.kernels,
             kv_quant=args.kv_cache == "int8",
         )
@@ -78,6 +80,7 @@ def main() -> None:
         eng = BatchEngine(
             config, params, batch_size=args.batch_size,
             ticks_per_sync=args.ticks_per_sync,
+            pipeline_depth=args.pipeline_depth,
             spec_window=args.spec,
             backend=args.kernels,
             kv_quant=args.kv_cache == "int8",
