@@ -394,3 +394,29 @@ def test_paged_pipeline_depth_does_not_change_streams(tiny_checkpoint):
     for depth in (2, 3):
         got, _ = serve(depth)
         assert got == base, depth
+
+
+def test_preempted_sampled_stream_identical_to_unpreempted(setup):
+    """A SAMPLED request preempted under memory pressure must produce the
+    exact stream it would have produced un-preempted: the per-request PRNG
+    base key pins to the Request at first admission and sampling keys fold
+    by position, so recompute replays the same draws."""
+    config, params, _ = setup
+    gen = GenerationConfig(temperature=0.8, top_p=0.9, steps=24, seed=123)
+    prompts = [[4, 8], [15, 16]]
+
+    # roomy pool: no preemption — the reference streams
+    roomy = PagedBatchEngine(config, params, batch_size=2, page_size=4,
+                             n_pages=64)
+    qs = [roomy.submit(p, gen) for p in prompts]
+    roomy.run_until_idle(max_ticks=4000)
+    want = [q.get(timeout=60).tokens for q in qs]
+
+    # tight pool: forces preempt-and-recompute mid-stream
+    tight = PagedBatchEngine(config, params, batch_size=2, page_size=4,
+                             n_pages=9)
+    qs = [tight.submit(p, gen) for p in prompts]
+    tight.run_until_idle(max_ticks=4000)
+    got = [q.get(timeout=60).tokens for q in qs]
+    assert tight.metrics["preempted"] >= 1, "scenario must actually preempt"
+    assert got == want
