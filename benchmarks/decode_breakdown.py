@@ -285,7 +285,8 @@ def main(argv=None) -> int:
         return x + quant_matmul_stacked(h, p["w2"], l)[:, 0], cache
 
     # tail megakernel (wo + FFN + next-qkv in ONE launch — what the
-    # 2-launch model path now runs; mlp_block.layer_tail_qkv_stacked)
+    # 2-launch model path runs for layers 0..L-2;
+    # mlp_block.layer_tail_qkv_stacked)
     def tail_fn(p, x, l, pos, cache):
         from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_stacked
 
@@ -295,6 +296,18 @@ def main(argv=None) -> int:
         )
         # fold qkv into the carry so the stage keeps a sequential dep
         return out + 1e-7 * qn[..., :D], cache
+
+    # no-qkv megakernel (wo + FFN — the LAST layer's launch)
+    def attn_mlp_fn(p, x, l, pos, cache):
+        from llama2_tpu.ops.pallas.mlp_block import attn_mlp_block_stacked
+
+        return (
+            attn_mlp_block_stacked(
+                x, x, p["wo"], _sl(p["rms_ffn"], l), p["w1"], p["w3"],
+                p["w2"], l, eps,
+            ),
+            cache,
+        )
     def logits_stage():
         def make(n):
             @partial(jax.jit, static_argnames=("steps",))
@@ -345,7 +358,7 @@ def main(argv=None) -> int:
     report("  FFN megakernel", dt_ffn, w_ffn)
     from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_supported
 
-    dt_tail = None
+    dt_tail = dt_mlp = None
     if layer_tail_qkv_supported(
         params["wo"], params["w1"], params["w3"], params["w2"],
         params["wqkv"],
@@ -353,15 +366,21 @@ def main(argv=None) -> int:
         dt_tail = _diff_timed(layer_loop_stage(tail_fn), K)
         report("  tail megakernel (wo+FFN+qkv)", dt_tail,
                w_o + w_ffn + w_qkv)
+        dt_mlp = _diff_timed(layer_loop_stage(attn_mlp_fn), K)
+        report("  wo+FFN megakernel (last layer)", dt_mlp, w_o + w_ffn)
     dt_split = _diff_timed(layer_loop_stage(ffn_split_fn), K)
     report("  FFN split (w1,w3,w2 launches)", dt_split, w_ffn)
     dt_log = _diff_timed(logits_stage(), K)
     report("  logits+argmax", dt_log, w_cls)
 
     if dt_tail is not None and dt_attn_f is not None:
-        # 2-launch model path: attention + tail per layer, one qkv0 launch
+        # 2-launch model path: fused attention for all L layers, the tail
+        # kernel for L-1, the no-qkv kernel for the last, one qkv0 launch
         # and the classifier per step
-        glue = dt_tick - (dt_attn_f + dt_tail + dt_log + dt_qkv / L)
+        glue = dt_tick - (
+            dt_attn_f + dt_tail * (L - 1) / L + dt_mlp / L + dt_log
+            + dt_qkv / L
+        )
     elif dt_attn_f is None:
         # lane-padded model: the composed path is what the model runs
         glue = dt_tick - (dt_qkv + dt_attn + dt_wo + dt_ffn + dt_log)

@@ -509,7 +509,7 @@ def _pick_bkq(D: int, Dq: int, Gq: int) -> int:
     bound (8 MiB double-buffered — NOT _FAST_TILE_BYTES, whose 4 MiB cap
     would reject Llama-7B's (512, 12288) = 6 MiB tile and silently disable
     the whole two-launch layer)."""
-    cap = min(512, D)
+    cap = min(D, max(512, Gq))  # whole-D stays reachable when Gq > 512
     bk = (cap // Gq) * Gq
     while bk >= Gq:
         if (

@@ -102,9 +102,19 @@ def _slot_keys(base_keys, pos):
     return jax.vmap(jax.random.fold_in)(base_keys, pos)
 
 
+def _host_prngkey(seed: int) -> np.ndarray:
+    """jax.random.PRNGKey(seed) built host-side (no device round trip).
+    Without jax_enable_x64 the seed converts to 32 bits, so the default
+    threefry key is ``[0, uint32(seed)]`` — layout equality with the jax
+    version is asserted by tests (seeded engine streams must keep matching
+    the Generator's)."""
+    return np.array([0, int(seed) & 0xFFFFFFFF], dtype=np.uint32)
+
+
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "n_windows", "d"),
+    static_argnames=("config", "precision", "backend", "n_windows", "d",
+                     "unroll"),
     donate_argnames=("cache",),
 )
 def _tick_spec(
@@ -121,6 +131,7 @@ def _tick_spec(
     backend: str,
     n_windows: int = 1,
     d: int = 4,
+    unroll: int = 1,
 ):
     """Batched greedy speculative decode: each window commits up to ``d``
     tokens per ACTIVE slot with one (B, d) forward.
@@ -163,7 +174,7 @@ def _tick_spec(
         seg = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, d)
 
         hidden, cache = forward(
-            params, cache, seg, pos, config, precision, backend
+            params, cache, seg, pos, config, precision, backend, unroll
         )
         logits = logits_from_hidden(params, hidden, precision, backend)
         targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, d)
@@ -411,8 +422,7 @@ class BatchEngine:
         self._temp = np.ones(batch_size, np.float32)
         self._topp = np.full(batch_size, 0.9, np.float32)
         self._argmax = np.zeros(batch_size, bool)
-        self._base_key = jax.random.PRNGKey(default_seed)
-        self._tick_idx = 0
+        self.default_seed = default_seed
         # per-slot PRNGKey(request_seed) mirrors: sampling keys fold these
         # by position, so stochastic streams are scheduler-independent
         self._seed_keys = np.array(
@@ -558,7 +568,7 @@ class BatchEngine:
             except queue.Empty:
                 break
             req.result_q.put(err)
-        self.cache = self._make_cache()
+        self._rebuild()
 
     def _step(self):
         self._admit()
@@ -681,8 +691,6 @@ class BatchEngine:
             active = np.asarray([r is not None for r in self.slots])
             if not active.any():
                 return
-            key = jax.random.fold_in(self._base_key, self._tick_idx)
-            self._tick_idx += 1
             budget = self._host_budget()
             S = self.config.seq_len
             hist = np.full((self.batch_size, S), -1, np.int32)
@@ -702,6 +710,7 @@ class BatchEngine:
                 backend=self.backend,
                 n_windows=self.ticks_per_sync,
                 d=self.spec_window,
+                unroll=self.layer_unroll,
             )
             self._replay(np.asarray(packed))
             return
@@ -713,15 +722,20 @@ class BatchEngine:
 
     def _request_key(self, req: Request) -> np.ndarray:
         """The request's PRNG base key: PRNGKey(seed) when seeded, else a
-        distinct key folded from the engine seed and an admission counter.
+        distinct key derived from the engine seed and an admission counter.
         Pinned on the Request at FIRST admission so preemption/recovery
-        re-admissions resume the SAME stochastic stream."""
+        re-admissions resume the SAME stochastic stream. Built HOST-side:
+        np.asarray of a device PRNGKey costs a full fetch RTT per admission
+        on a remote transport."""
         if req.sample_key is None:
             if req.gen.seed is not None:
-                req.sample_key = np.asarray(jax.random.PRNGKey(req.gen.seed))
+                req.sample_key = _host_prngkey(req.gen.seed)
             else:
-                req.sample_key = np.asarray(
-                    jax.random.fold_in(self._base_key, self._admit_count)
+                # distinct per admission for a fixed engine seed (golden-
+                # ratio hash); collisions with explicit user seeds are
+                # possible and inconsequential
+                req.sample_key = _host_prngkey(
+                    self.default_seed * 0x9E3779B9 + 0x517CC1B7 + self._admit_count
                 )
             self._admit_count += 1
         return req.sample_key
@@ -742,7 +756,6 @@ class BatchEngine:
         (BOS/budget) makes dispatching ahead of the replay safe — a slot
         that retired in an unread window is frozen on device and emits -1.
         """
-        self._tick_idx += 1
         if self._chain is not None:
             tokens, pos, budget, chain_active = self._chain
         else:

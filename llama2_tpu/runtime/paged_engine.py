@@ -320,24 +320,6 @@ class PagedBatchEngine(BatchEngine):
             return
         self.pool.release([p for p in pages if not self.prefix.release(p)])
 
-    def _fail_all(self, err: Exception):
-        self._inflight = []  # references the device state being discarded
-        self._chain = None
-        for slot, req in enumerate(self.slots):
-            if req is not None:
-                req.result_q.put(err)
-                self.slots[slot] = None
-        for req in self._requeue:
-            req.result_q.put(err)
-        self._requeue.clear()
-        while True:
-            try:
-                req = self.waiting.get_nowait()
-            except queue.Empty:
-                break
-            req.result_q.put(err)
-        self._rebuild()
-
     def _start_request(self, slot: int, req: Request):
         # prefill writes pools/tables/mirrors outside the pipelined chain:
         # flush any in-flight windows first (see BatchEngine._drain)
@@ -603,7 +585,6 @@ class PagedBatchEngine(BatchEngine):
         from the host-side position projection (frozen slots harmlessly
         overwrite ahead of their final pos, within their own pages)."""
         K = self.ticks_per_sync
-        self._tick_idx += 1
         win = self._pos_ahead[None, :] + np.arange(K)[:, None]  # (K, B)
         win = np.minimum(win, self.config.seq_len - 1)
         page_ids = self._tables[

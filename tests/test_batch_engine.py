@@ -299,9 +299,9 @@ def test_pipeline_depth_does_not_change_streams(engine_and_ref):
 
 
 def test_pipeline_depth_invariant_for_sampled_streams(engine_and_ref):
-    """Depth-invariance must also hold for stochastic sampling: window keys
-    derive from the dispatch counter, which advances identically at any
-    pipeline depth."""
+    """Depth-invariance must also hold for stochastic sampling: keys are
+    fold_in(PRNGKey(request_seed), position) per slot, independent of how
+    windows are batched or pipelined."""
     config, params, _ = engine_and_ref
     gen = GenerationConfig(temperature=0.9, top_p=0.85, steps=10, seed=7)
     prompts = [[5, 17], [320, 9], [7]]
@@ -316,3 +316,16 @@ def test_pipeline_depth_invariant_for_sampled_streams(engine_and_ref):
         return [q.get(timeout=300).tokens for q in qs]
 
     assert serve(3) == serve(1)
+
+
+def test_host_prngkey_matches_jax():
+    """_host_prngkey must stay byte-identical to jax.random.PRNGKey (seeded
+    engine streams must keep matching the single-stream Generator's)."""
+    import jax
+
+    from llama2_tpu.runtime.batch_engine import _host_prngkey
+
+    for seed in (0, 1, 42, 123, 2**31 - 1, -1, -42, 2**32 + 5):
+        np.testing.assert_array_equal(
+            _host_prngkey(seed), np.asarray(jax.random.PRNGKey(seed)), seed
+        )
