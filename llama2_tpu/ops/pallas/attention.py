@@ -389,7 +389,7 @@ def _kernel_stacked_fused(
     pos_ref,  # (B,) int32
     layer_ref,  # (1,) int32
     qkv_ref,  # (1, H + 2*KVH, hs) VMEM — PRE-rope QKV rows
-    cos_ref,  # (1, hs) f32 VMEM — interleaved-duplicated step table
+    cos_ref,  # (1, 1, hs) f32 VMEM — interleaved-duplicated step row
     sin_ref,
     k_hbm_in,  # aliased caches
     v_hbm_in,
@@ -422,8 +422,8 @@ def _kernel_stacked_fused(
     hs = knew_s.shape[2]
 
     qkv = qkv_ref[0].astype(jnp.float32)  # (H + 2*KVH, hs)
-    cos = cos_ref[...]
-    sin = sin_ref[...]
+    cos = cos_ref[0]
+    sin = sin_ref[0]
     q = _rope_interleaved(qkv[:H], cos, sin)
     knew_s[:] = _rope_interleaved(qkv[H : H + KVH], cos, sin)[
         :, None, :
@@ -475,8 +475,9 @@ def _flash_decode_fused(
         grid=(B,),
         in_specs=[
             vmem_spec((1, H + 2 * KVH, hs)),  # qkv
-            vmem_spec((1, hs)),  # cos_il
-            vmem_spec((1, hs)),  # sin_il
+            # (B, 1, hs) layout — see attention_q8._flash_decode_q8_fused
+            vmem_spec((1, 1, hs)),  # cos_il
+            vmem_spec((1, 1, hs)),  # sin_il
             pl.BlockSpec(memory_space=pltpu.ANY),  # K cache (aliased out)
             pl.BlockSpec(memory_space=pltpu.ANY),  # V cache (aliased out)
         ],
@@ -506,7 +507,7 @@ def _flash_decode_fused(
         ],
         input_output_aliases={5: 1, 6: 2},
         interpret=interpret,
-    )(pos, layer, qkv, cos_il, sin_il, k_cache, v_cache)
+    )(pos, layer, qkv, cos_il[:, None], sin_il[:, None], k_cache, v_cache)
     return out.reshape(B, H, hs), k_cache, v_cache
 
 

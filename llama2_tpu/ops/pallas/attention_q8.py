@@ -591,7 +591,7 @@ def _kernel_stacked_fused(
     pos_ref,  # (B,) int32
     layer_ref,  # (1,) int32
     qkv_ref,  # (1, H + 2*KVH, hs) f32 VMEM — PRE-rope QKV rows
-    cos_ref,  # (1, hs) f32 VMEM — interleaved-duplicated step table
+    cos_ref,  # (1, 1, hs) f32 VMEM — interleaved-duplicated step row
     sin_ref,
     k_hbm_in,  # aliased pools
     ks_hbm_in,
@@ -631,8 +631,8 @@ def _kernel_stacked_fused(
     hs = kwin.shape[2]
 
     qkv = qkv_ref[0]  # (H + 2*KVH, hs) f32
-    cos = cos_ref[...]  # (1, hs) — broadcasts over rows
-    sin = sin_ref[...]
+    cos = cos_ref[0]  # (1, hs) — broadcasts over rows
+    sin = sin_ref[0]
     q = _rope_interleaved(qkv[:H], cos, sin)
     k = _rope_interleaved(qkv[H : H + KVH], cos, sin)
     v = qkv[H + KVH :]
@@ -680,8 +680,10 @@ def _flash_decode_q8_fused(
         grid=(B,),
         in_specs=[
             vmem_spec((1, H + 2 * KVH, hs)),  # qkv
-            vmem_spec((1, hs)),  # cos_il
-            vmem_spec((1, hs)),  # sin_il
+            # cos/sin ride (B, 1, hs): a (1, hs) block of a (B, hs) array
+            # has sublane dim 1 (< 8, not whole-B) — Mosaic-illegal
+            vmem_spec((1, 1, hs)),  # cos_il
+            vmem_spec((1, 1, hs)),  # sin_il
             hbm_spec, hbm_spec, hbm_spec, hbm_spec,  # pools (aliased)
         ],
         out_specs=[
@@ -717,7 +719,7 @@ def _flash_decode_q8_fused(
         ],
         input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
         interpret=interpret,
-    )(pos, layer, qkv, cos_il, sin_il, k8, ks, v8, vs)
+    )(pos, layer, qkv, cos_il[:, None], sin_il[:, None], k8, ks, v8, vs)
     return out.reshape(B, H, hs), k8, ks, v8, vs
 
 

@@ -579,7 +579,7 @@ def _kernel_wo_qkv(
         Kp1 = s13 * bk1
         rf = r_ref[:]
         ms = jnp.mean(rf * rf, axis=-1, keepdims=True)
-        xn = rf * jax.lax.rsqrt(ms + eps) * rwf_ref[:].astype(jnp.float32)
+        xn = rf * jax.lax.rsqrt(ms + eps) * rwf_ref[0].astype(jnp.float32)
         if Kp1 == D:
             xn_ref[:] = xn
         else:
@@ -634,7 +634,7 @@ def _kernel_wo_qkv(
         out = acc_ref[:] + r_ref[:]
         o_ref[:] = out.astype(o_ref.dtype)
         ms = jnp.mean(out * out, axis=-1, keepdims=True)
-        xq = out * jax.lax.rsqrt(ms + eps) * rwa_ref[:].astype(jnp.float32)
+        xq = out * jax.lax.rsqrt(ms + eps) * rwa_ref[0].astype(jnp.float32)
         Kp1 = s13 * bk1
         if Kp1 == D:
             xn_ref[:] = xq
@@ -731,7 +731,9 @@ def _layer_tail_qkv_2d(
                 row_spec(D),  # x
                 pl.BlockSpec((1, bk0, D), wo_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, sg0, D), wo_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, D), lambda i, t, s, l: (l[0], 0),
+                # rms arrays ride (L, 1, D): a (1, D) block of an (L, D)
+                # array has sublane dim 1 (< 8, not whole-L) — Mosaic-illegal
+                pl.BlockSpec((1, 1, D), lambda i, t, s, l: (l[0], 0, 0),
                              memory_space=pltpu.VMEM),  # rms_ffn[l]
                 pl.BlockSpec((1, bk1, bh), w13_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, sg1, bh), w13_idx, memory_space=pltpu.VMEM),
@@ -739,8 +741,8 @@ def _layer_tail_qkv_2d(
                 pl.BlockSpec((1, sg1, bh), w13_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bk2, D), w2_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, sg2, D), w2_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, D), lambda i, t, s, l: (
-                    jnp.minimum(l[0] + 1, q1.shape[0] - 1), 0
+                pl.BlockSpec((1, 1, D), lambda i, t, s, l: (
+                    jnp.minimum(l[0] + 1, q1.shape[0] - 1), 0, 0
                 ), memory_space=pltpu.VMEM),  # rms_att[l+1]
                 pl.BlockSpec((1, bkq, Dq), wq_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, sgq, Dq), wq_idx, memory_space=pltpu.VMEM),
@@ -776,7 +778,8 @@ def _layer_tail_qkv_2d(
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), att, x,
-      qo_, so_, rms_ffn, q1, s1, q3, s3, q2, s2, rms_att, qq, sq_)
+      qo_, so_, rms_ffn.reshape(-1, 1, D), q1, s1, q3, s3, q2, s2,
+      rms_att.reshape(-1, 1, D), qq, sq_)
     return out, qkv_next
 
 

@@ -695,7 +695,7 @@ def _kernel_stacked_fused(
     wrow_ref,  # (B,) int32
     layer_ref,  # (1,) int32
     qkv_ref,  # (1, H + 2*KVH, hs) VMEM — PRE-rope QKV rows
-    cos_ref,  # (1, hs) f32 VMEM — interleaved-duplicated step table
+    cos_ref,  # (1, 1, hs) f32 VMEM — interleaved-duplicated step row
     sin_ref,
     k_hbm_in,  # aliased pools
     v_hbm_in,
@@ -729,8 +729,8 @@ def _kernel_stacked_fused(
     hs = knew_s.shape[2]
 
     qkv = qkv_ref[0].astype(jnp.float32)  # (H + 2*KVH, hs)
-    cos = cos_ref[...]
-    sin = sin_ref[...]
+    cos = cos_ref[0]
+    sin = sin_ref[0]
     q = _rope_interleaved(qkv[:H], cos, sin)
     knew_s[:] = _rope_interleaved(qkv[H : H + KVH], cos, sin)[
         :, None, :
@@ -785,8 +785,9 @@ def _paged_decode_fused(
         grid=(B,),
         in_specs=[
             vmem_spec((1, H + 2 * KVH, hs)),  # qkv
-            vmem_spec((1, hs)),  # cos_il
-            vmem_spec((1, hs)),  # sin_il
+            # (B, 1, hs) layout — see attention_q8._flash_decode_q8_fused
+            vmem_spec((1, 1, hs)),  # cos_il
+            vmem_spec((1, 1, hs)),  # sin_il
             hbm_spec, hbm_spec,  # pools (aliased)
         ],
         out_specs=[
@@ -815,7 +816,8 @@ def _paged_decode_fused(
         ],
         input_output_aliases={8: 1, 9: 2},
         interpret=interpret,
-    )(pos, table, wpage, wrow, layer, qkv, cos_il, sin_il, k_pool, v_pool)
+    )(pos, table, wpage, wrow, layer, qkv, cos_il[:, None], sin_il[:, None],
+      k_pool, v_pool)
     return out.reshape(B, H, hs), k_pool, v_pool
 
 
@@ -919,8 +921,8 @@ def _kernel_stacked_q8_fused(
     hs = kwin.shape[2]
 
     qkv = qkv_ref[0]  # (H + 2*KVH, hs) f32
-    cos = cos_ref[...]
-    sin = sin_ref[...]
+    cos = cos_ref[0]
+    sin = sin_ref[0]
     q = _rope_interleaved(qkv[:H], cos, sin)
     k = _rope_interleaved(qkv[H : H + KVH], cos, sin)
     v = qkv[H + KVH :]
@@ -966,8 +968,9 @@ def _paged_decode_q8_fused(
         grid=(B,),
         in_specs=[
             vmem_spec((1, H + 2 * KVH, hs)),  # qkv
-            vmem_spec((1, hs)),  # cos_il
-            vmem_spec((1, hs)),  # sin_il
+            # (B, 1, hs) layout — see attention_q8._flash_decode_q8_fused
+            vmem_spec((1, 1, hs)),  # cos_il
+            vmem_spec((1, 1, hs)),  # sin_il
             hbm_spec, hbm_spec, hbm_spec, hbm_spec,  # pools (aliased)
         ],
         out_specs=[
@@ -1003,7 +1006,7 @@ def _paged_decode_q8_fused(
         input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
         interpret=interpret,
     )(
-        pos, table, wpage, wrow, layer, qkv, cos_il, sin_il,
+        pos, table, wpage, wrow, layer, qkv, cos_il[:, None], sin_il[:, None],
         k_pool, ks_pool, v_pool, vs_pool,
     )
     return out.reshape(B, H, hs), k_pool, ks_pool, v_pool, vs_pool
