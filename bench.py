@@ -37,7 +37,38 @@ def _best_of(g, gen, n, ref_tokens=None):
     return best
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail FAST (with a clear message) when the TPU backend is unreachable:
+    jax backend init retries indefinitely on a dead transport, which would
+    otherwise hang this benchmark without explanation."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            "bench.py: TPU backend unreachable (probe timed out after "
+            f"{timeout_s:.0f}s) — not a code failure; re-run when the "
+            "device/tunnel is back.",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    if r.returncode != 0:
+        print(
+            "bench.py: TPU backend failed to initialize — not a code "
+            f"failure; re-run when the device/tunnel is back.\n{r.stderr[-500:]}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+
 def main() -> None:
+    _probe_backend()
+
     from __graft_entry__ import _flagship
 
     from llama2_tpu.config import GenerationConfig
