@@ -6,6 +6,8 @@ new TPU-native component on a virtual multi-device CPU mesh, the pattern
 SURVEY.md section 4 prescribes for multi-chip code.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,7 +139,9 @@ def test_sp_tp_composition_matches_dense(sp, tp):
 
     config = tiny_config()  # n_heads=4, n_kv_heads=2
     if config.n_kv_heads % tp:
-        pytest.skip("tp must divide n_kv_heads")
+        # tp must divide n_kv_heads: widen kv heads for the tp=4 leg so the
+        # composition is exercised instead of skipped
+        config = dataclasses.replace(config, n_kv_heads=4)
     params = {k: jnp.asarray(v) for k, v in random_params(config).items()}
     T = 16
     rng = np.random.default_rng(13)
