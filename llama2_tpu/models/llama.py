@@ -73,12 +73,22 @@ def _layer(
     layer_idx=None,
     ks_cache: jax.Array | None = None,
     vs_cache: jax.Array | None = None,
+    axis_name: str | None = None,
+    ring: bool = False,
 ):
     """One decoder layer over a (B, T, D) segment starting at ``pos``.
 
     ``layer_idx``: set when quantized weights arrive layer-STACKED (the scan
     passes the whole stack + index so the pallas kernel reads tiles in place
     — see ops/linear.py).
+
+    ``axis_name``: set when running INSIDE shard_map over a tensor-parallel
+    mesh axis — weights arrive as LOCAL shards (wq/wk/wv/w1/w3 out-sharded,
+    wo/w2 in-sharded), the config describes LOCAL head counts, and the
+    row-parallel wo/w2 outputs are partial sums this layer reduces with
+    ``psum`` (or the explicit overlapped ring when ``ring=True``) before
+    adding the residual. x is replicated on the axis. The Megatron pairing
+    from parallel/sharding.py made explicit per shard.
     """
     B, T, D = x.shape
     H, KVH, hs = config.n_heads, config.n_kv_heads, config.head_size
@@ -87,12 +97,14 @@ def _layer(
     xb = ops.rmsnorm(x, layer_params["rms_att"], config.norm_eps)
     if "wqkv" in layer_params:
         # fused QKV (the reference's matmul_fused(3, ...) analog,
-        # main.zig:308-320): one kernel launch, one read of xb
+        # main.zig:308-320): one kernel launch, one read of xb. Split by
+        # H*hs, not D: under tp the shard's H is local while D stays global
         kv = KVH * hs
+        qd = H * hs
         qkv = linear(xb, layer_params["wqkv"], precision, backend, layer_idx)
-        q = qkv[..., :D].reshape(B, T, H, hs)
-        k = qkv[..., D : D + kv].reshape(B, T, KVH, hs)
-        v = qkv[..., D + kv :].reshape(B, T, KVH, hs)
+        q = qkv[..., :qd].reshape(B, T, H, hs)
+        k = qkv[..., qd : qd + kv].reshape(B, T, KVH, hs)
+        v = qkv[..., qd + kv :].reshape(B, T, KVH, hs)
     else:
         q = linear(xb, layer_params["wq"], precision, backend, layer_idx).reshape(B, T, H, hs)
         k = linear(xb, layer_params["wk"], precision, backend, layer_idx).reshape(B, T, KVH, hs)
@@ -191,8 +203,12 @@ def _layer(
         att = flash_decode_attention(q, k_cache, v_cache, pos, scale=scale)
     else:
         att = ops.attention(q, k_cache, v_cache, pos, precision=precision, scale=scale)
-    att = att[..., :hs].reshape(B, T, D)
-    x = x + linear(att, layer_params["wo"], precision, backend, layer_idx)
+    # local head count: under tp the shard's heads are a contiguous slice of
+    # the feature dim, matching wo's in-shard rows
+    att = att[..., :hs].reshape(B, T, H * hs)
+    x = x + _row_parallel(
+        att, layer_params["wo"], precision, backend, layer_idx, axis_name, ring
+    )
 
     # FFN block
     xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
@@ -204,10 +220,33 @@ def _layer(
     else:
         h1 = linear(xb, layer_params["w1"], precision, backend, layer_idx)
         h3 = linear(xb, layer_params["w3"], precision, backend, layer_idx)
-    x = x + linear(
-        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, layer_idx
+    x = x + _row_parallel(
+        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, layer_idx,
+        axis_name, ring,
     )
     return x, k_cache, v_cache, ks_cache, vs_cache
+
+
+def _row_parallel(
+    y: jax.Array, w, precision, backend: str, layer_idx, axis_name, ring: bool
+):
+    """Row-parallel projection: ``y_local @ w_local`` summed across the model
+    axis. ``axis_name=None`` is the single-shard identity (plain linear).
+
+    ``ring=True`` replaces the GSPMD-scheduled ``psum`` with the explicit
+    overlapped collective matmul (parallel/collective_matmul.py): the dot is
+    issued column-chunk by column-chunk interleaved with ring ppermutes, so
+    every ICI hop has a co-scheduled MXU dot (SURVEY.md §7 hard part (e)).
+    The ring form uses XLA dots (dequantizing QuantTensor shards); the fused
+    pallas wo/w2 kernels pair with the psum form.
+    """
+    if axis_name is None:
+        return linear(y, w, precision, backend, layer_idx)
+    if ring:
+        from llama2_tpu.parallel.collective_matmul import ring_linear_local
+
+        return ring_linear_local(y, w, axis_name, layer_idx, precision)
+    return jax.lax.psum(linear(y, w, precision, backend, layer_idx), axis_name)
 
 
 def _layer_decode_stacked(
@@ -224,6 +263,8 @@ def _layer_decode_stacked(
     quant_idx,  # layer index for stacked QuantTensors (or None)
     cos_il=None,  # (B, hs) pair-duplicated step rope tables — enables the
     sin_il=None,  # glue-fused attention kernel (rope+quant+append in-kernel)
+    axis_name: str | None = None,  # tensor-parallel axis inside shard_map
+    ring: bool = False,  # explicit overlapped ring for the wo/w2 reduces
 ):
     """One decoder layer of the T=1 decode step over LAYER-STACKED caches.
 
@@ -273,7 +314,7 @@ def _layer_decode_stacked(
         qkv = quant_matmul_stacked(
             x, layer_params["wqkv"], quant_idx,
             rms_w=layer_params["rms_att"], eps=config.norm_eps,
-        )  # (B, 1, D + 2*KV) — pre-rope
+        )  # (B, 1, (H + 2*KVH) * hs) — pre-rope, local heads under tp
         pvec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
         qkv3 = qkv[:, 0].reshape(B, H + 2 * KVH, hs)
         if kv_quant:
@@ -297,14 +338,16 @@ def _layer_decode_stacked(
                 qkv3, k_cache, v_cache, cos_il, sin_il, layer_idx, pvec,
                 n_heads=H, scale=1.0 / (hs**0.5),
             )
-        att = att.reshape(B, T, D)
+        att = att.reshape(B, T, H * hs)
         x = _post_attention(
-            x, att, layer_params, config, precision, backend, quant_idx
+            x, att, layer_params, config, precision, backend, quant_idx,
+            axis_name, ring,
         )
         if kv_quant:
             return x, (k_cache, ks_cache, v_cache, vs_cache)
         return x, (k_cache, v_cache)
 
+    qd = H * hs  # query width: local under tp (D stays global)
     if fuse_glue:
         # rmsnorm fused into the qkv launch (quant_matmul prologue) — the
         # decode step is launch-bound, every XLA dispatch between pallas
@@ -316,17 +359,17 @@ def _layer_decode_stacked(
             x, layer_params["wqkv"], quant_idx,
             rms_w=layer_params["rms_att"], eps=config.norm_eps,
         )
-        q = qkv[..., :D].reshape(B, T, H, hs)
-        k = qkv[..., D : D + kv].reshape(B, T, KVH, hs)
-        v = qkv[..., D + kv :].reshape(B, T, KVH, hs)
+        q = qkv[..., :qd].reshape(B, T, H, hs)
+        k = qkv[..., qd : qd + kv].reshape(B, T, KVH, hs)
+        v = qkv[..., qd + kv :].reshape(B, T, KVH, hs)
     else:
         xb = ops.rmsnorm(x, layer_params["rms_att"], config.norm_eps)
         if "wqkv" in layer_params:
             kv = KVH * hs
             qkv = linear(xb, layer_params["wqkv"], precision, backend, quant_idx)
-            q = qkv[..., :D].reshape(B, T, H, hs)
-            k = qkv[..., D : D + kv].reshape(B, T, KVH, hs)
-            v = qkv[..., D + kv :].reshape(B, T, KVH, hs)
+            q = qkv[..., :qd].reshape(B, T, H, hs)
+            k = qkv[..., qd : qd + kv].reshape(B, T, KVH, hs)
+            v = qkv[..., qd + kv :].reshape(B, T, KVH, hs)
         else:
             q = linear(xb, layer_params["wq"], precision, backend, quant_idx).reshape(B, T, H, hs)
             k = linear(xb, layer_params["wk"], precision, backend, quant_idx).reshape(B, T, KVH, hs)
@@ -423,9 +466,10 @@ def _layer_decode_stacked(
             scale=scale,
         )
 
-    att = att[..., :hs].reshape(B, T, D)
+    att = att[..., :hs].reshape(B, T, H * hs)
     x = _post_attention(
-        x, att, layer_params, config, precision, backend, quant_idx
+        x, att, layer_params, config, precision, backend, quant_idx,
+        axis_name, ring,
     )
     if kv_quant:
         return x, (k_cache, ks_cache, v_cache, vs_cache)
@@ -434,13 +478,21 @@ def _layer_decode_stacked(
 
 def _post_attention(
     x, att, layer_params, config: ModelConfig, precision, backend: str,
-    quant_idx,
+    quant_idx, axis_name: str | None = None, ring: bool = False,
 ):
     """Shared post-attention epilogue of a decode layer: wo projection +
     FFN block, preferring the launch-minimal kernels in order — the
     wo+FFN megakernel (one launch), then fused-residual wo + the FFN
     megakernel (two), then the composed wo / rmsnorm / w13 / swiglu / w2
-    path (the XLA and fp-weight fallback)."""
+    path (the XLA and fp-weight fallback).
+
+    ``axis_name``: tensor-parallel mode (inside shard_map). The wo and w2
+    outputs are partial sums over the model axis; each is reduced (psum, or
+    the overlapped ring when ``ring=True``) BEFORE its residual add, so the
+    residual-fusing single-launch forms (attn_mlp megakernel, fused-residual
+    wo, in-kernel FFN residual) split into reduce-then-add pairs: per layer
+    the tp pallas decode runs qkv + attention + wo + FFN-megakernel launches
+    with two psums riding ICI between them."""
     from llama2_tpu.quant.q8 import QuantTensor
 
     wo = layer_params["wo"]
@@ -450,14 +502,14 @@ def _post_attention(
         and isinstance(wo, QuantTensor)
         and wo.q.ndim == 3
     )
-    if quant_idx is not None and use_mlp_block(layer_params, backend):
+    if quant_idx is not None and not ring and use_mlp_block(layer_params, backend):
         from llama2_tpu.ops.pallas.mlp_block import (
             attn_mlp_block_stacked,
             attn_mlp_block_supported,
             mlp_block_stacked,
         )
 
-        if attn_mlp_block_supported(
+        if axis_name is None and attn_mlp_block_supported(
             wo, layer_params["w1"], layer_params["w3"], layer_params["w2"]
         ):
             # wo + FFN in ONE launch (the whole post-attention half of the
@@ -467,27 +519,46 @@ def _post_attention(
                 layer_params["w3"], layer_params["w2"], quant_idx,
                 config.norm_eps,
             )
-        if wo_stacked:
+        if wo_stacked and axis_name is None:
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
             x = quant_matmul_stacked(att, wo, quant_idx, residual=x)
+        elif wo_stacked:
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            x = x + jax.lax.psum(
+                quant_matmul_stacked(att, wo, quant_idx), axis_name
+            )
         else:
-            x = x + linear(att, wo, precision, backend, quant_idx)
+            x = x + _row_parallel(
+                att, wo, precision, backend, quant_idx, axis_name, ring
+            )
         # whole FFN block in one launch: rmsnorm + w1/w3 + swiglu + w2 +
         # residual fused (ops/pallas/mlp_block.py) — activations stay in
         # VMEM, weights stream once, 2 launches + 3 XLA ops become 1 launch
-        return mlp_block_stacked(
+        ffn = mlp_block_stacked(
             x, layer_params["rms_ffn"], layer_params["w1"],
             layer_params["w3"], layer_params["w2"], quant_idx,
-            config.norm_eps,
+            config.norm_eps, residual=axis_name is None,
         )
-    if wo_stacked:
+        if axis_name is None:
+            return ffn
+        return x + jax.lax.psum(ffn, axis_name)
+    if wo_stacked and axis_name is None and not ring:
         # residual add fused into the wo launch (quant_matmul epilogue)
         from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
         x = quant_matmul_stacked(att, wo, quant_idx, residual=x)
+    elif wo_stacked and not ring:
+        from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+        x = x + jax.lax.psum(
+            quant_matmul_stacked(att, wo, quant_idx), axis_name
+        )
     else:
-        x = x + linear(att, wo, precision, backend, quant_idx)
+        x = x + _row_parallel(
+            att, wo, precision, backend, quant_idx, axis_name, ring
+        )
     xb = ops.rmsnorm(x, layer_params["rms_ffn"], config.norm_eps)
     if "w13" in layer_params:
         HD = layer_params["w13"].shape[-1] // 2
@@ -496,8 +567,9 @@ def _post_attention(
     else:
         h1 = linear(xb, layer_params["w1"], precision, backend, quant_idx)
         h3 = linear(xb, layer_params["w3"], precision, backend, quant_idx)
-    return x + linear(
-        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, quant_idx
+    return x + _row_parallel(
+        ops.swiglu(h1, h3), layer_params["w2"], precision, backend, quant_idx,
+        axis_name, ring,
     )
 
 
@@ -532,7 +604,9 @@ def use_mlp_block(params: dict, backend: str) -> bool:
     )
 
 
-def fuse_layer_params(params: dict, backend: str = "pallas") -> dict:
+def fuse_layer_params(
+    params: dict, backend: str = "pallas", shards: int = 1
+) -> dict:
     """Concatenate QKV (and, when the fused-MLP megakernel won't take over,
     W1/W3) along out-features: wqkv (L, D, D+2*KV), w13 (L, D, 2*HD).
 
@@ -543,6 +617,16 @@ def fuse_layer_params(params: dict, backend: str = "pallas") -> dict:
     and group size by construction). Done once at engine init — the param
     tree on disk / in sharding specs keeps the 9-key layout.
 
+    ``shards > 1`` builds the SHARD-BLOCKED wqkv layout for tensor
+    parallelism: out-features are ordered ``[q_0|k_0|v_0|q_1|k_1|v_1|...]``
+    where block ``s`` holds shard ``s``'s heads. Splitting the out axis into
+    ``shards`` equal chunks (the model-axis PartitionSpec) then hands every
+    device a contiguous, self-contained ``[q|k|v]`` block with ``H/shards``
+    query heads — exactly the single-chip fused layout at 1/shards scale, so
+    the fused pallas kernels run unchanged inside shard_map. Requires
+    ``shards`` to divide n_heads and n_kv_heads (the tensor-parallel support
+    predicate checks this).
+
     W1/W3 stay SEPARATE when :func:`use_mlp_block` will engage: the FFN then
     runs as one pallas launch fusing rmsnorm + w1/w3 + swiglu + w2 +
     residual, which needs block-aligned per-matrix streams.
@@ -550,6 +634,21 @@ def fuse_layer_params(params: dict, backend: str = "pallas") -> dict:
     import jax.numpy as _jnp
 
     from llama2_tpu.quant.q8 import QuantTensor
+
+    def shard_chunks(w, s):
+        """Split out-features (last axis) into ``shards`` equal chunks."""
+        n = w.q.shape[-1] if isinstance(w, QuantTensor) else w.shape[-1]
+        assert n % shards == 0
+        c = n // shards
+        if isinstance(w, QuantTensor):
+            return QuantTensor(
+                q=jax.lax.slice_in_dim(w.q, s * c, (s + 1) * c, axis=-1),
+                scale=jax.lax.slice_in_dim(
+                    w.scale, s * c, (s + 1) * c, axis=-1
+                ),
+                group_size=w.group_size,
+            )
+        return jax.lax.slice_in_dim(w, s * c, (s + 1) * c, axis=-1)
 
     def cat(*ws):
         if isinstance(ws[0], QuantTensor):
@@ -563,15 +662,32 @@ def fuse_layer_params(params: dict, backend: str = "pallas") -> dict:
 
     out = {k: v for k, v in params.items()
            if k not in ("wq", "wk", "wv", "w1", "w3")}
-    out["wqkv"] = cat(params["wq"], params["wk"], params["wv"])
-    if use_mlp_block(params, backend):
+    if shards > 1:
+        blocks = []
+        for s in range(shards):
+            blocks += [
+                shard_chunks(params["wq"], s),
+                shard_chunks(params["wk"], s),
+                shard_chunks(params["wv"], s),
+            ]
+        out["wqkv"] = cat(*blocks)
+    else:
+        out["wqkv"] = cat(params["wq"], params["wk"], params["wv"])
+    if use_mlp_block(params, backend) or shards > 1:
+        # under tp the FFN always runs separate w1/w3 (either the local
+        # megakernel or per-matrix launches) — a blocked w13 would buy nothing
         out["w1"], out["w3"] = params["w1"], params["w3"]
     else:
         out["w13"] = cat(params["w1"], params["w3"])
     return out
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "backend", "unroll"), inline=True)
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend", "unroll", "mesh",
+                     "collective"),
+    inline=True,
+)
 def forward(
     params: dict,
     cache: dict,
@@ -581,6 +697,8 @@ def forward(
     precision=jax.lax.Precision.HIGHEST,
     backend: str = "xla",
     unroll: int = 1,
+    mesh=None,
+    collective: str | None = None,
 ) -> tuple[jax.Array, dict]:
     """Run T tokens at positions ``pos..pos+T-1`` through all layers.
 
@@ -593,6 +711,18 @@ def forward(
     on-device decode loop) every scan trip has a fixed runtime cost, and for
     small models that overhead dominates the layer math — full unroll was
     measured ~1.6x faster end-to-end on stories15M on a v5e chip.
+
+    ``mesh``: a (data, model) Mesh — runs the layer stack under shard_map
+    with explicit per-shard pallas kernels and psum/ring reduces
+    (parallel/tp.py). The caller must have sharded params/cache with the
+    SHARD-ALIGNED layouts (engine init does: fuse_layer_params(shards=tp) +
+    shard_params) and verified support via
+    parallel.tp.tp_pallas_supported. Without ``mesh`` sharded callers get
+    GSPMD from input shardings, as before.
+
+    ``collective="ring"``: row-parallel wo/w2 reduce via the explicit
+    overlapped ring collective matmul instead of psum (requires ``mesh``;
+    see parallel/collective_matmul.py).
     """
     x = jnp.take(params["tok_emb"], tokens, axis=0)  # (B, T, D)
     x = x.astype(params.get("wq", params.get("wqkv")).dtype)
@@ -601,6 +731,46 @@ def forward(
     positions = positions.reshape(*pos.shape, tokens.shape[1])
     cos, sin = ops.rope_angles(positions, config.head_size)  # (.., T, hs/2)
 
+    if mesh is not None:
+        from llama2_tpu.parallel.tp import run_layers_sharded
+
+        x, new_cache = run_layers_sharded(
+            _run_layers, params, cache, x, pos, cos, sin, config, precision,
+            backend, unroll, mesh, collective,
+        )
+    else:
+        x, new_cache = _run_layers(
+            params, cache, x, pos, cos, sin, config, precision, backend,
+            unroll, ring=collective == "ring",
+        )
+    x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+    return x, new_cache
+
+
+def _run_layers(
+    params: dict,
+    cache: dict,
+    x: jax.Array,  # (B, T, D) embedded segment
+    pos,
+    cos,
+    sin,
+    config: ModelConfig,
+    precision,
+    backend: str,
+    unroll: int = 1,
+    axis_name: str | None = None,
+    ring: bool = False,
+):
+    """All N decoder layers over an embedded segment; returns (x, new_cache)
+    WITHOUT the final rmsnorm (forward applies it).
+
+    This is the region :func:`forward` runs under ``shard_map`` for the
+    tensor-parallel pallas path (parallel/tp.py): with ``axis_name`` set the
+    weights/caches are LOCAL shards, ``config`` holds LOCAL head counts, and
+    the row-parallel reduces ride the named axis (see _layer /
+    _post_attention). Single-chip callers leave ``axis_name=None`` and get
+    the exact previous behavior.
+    """
     from llama2_tpu.quant.q8 import QuantTensor
 
     # Quantized weights stay layer-STACKED outside the scan: the pallas
@@ -614,7 +784,7 @@ def forward(
 
     kv_quant = "k_scale" in cache
 
-    if tokens.shape[1] == 1:
+    if x.shape[1] == 1:
         # T=1 decode: caches ride the scan carry whole (see
         # _layer_decode_stacked — scan-slicing them costs a full cache
         # read+rebuild per step and forces pallas operand copies)
@@ -628,7 +798,7 @@ def forward(
         # shares the step's positions) when the fused path can engage.
         cos_il = sin_il = None
         if backend == "pallas" and stacked:
-            B = tokens.shape[0]
+            B = x.shape[0]
             cos_il = jnp.repeat(cos.reshape(-1, cos.shape[-1]), 2, axis=-1)
             sin_il = jnp.repeat(sin.reshape(-1, sin.shape[-1]), 2, axis=-1)
             cos_il = jnp.broadcast_to(cos_il, (B, cos_il.shape[-1]))
@@ -646,6 +816,8 @@ def forward(
         hs = config.head_size
         use_tail_qkv = (
             cos_il is not None
+            and axis_name is None  # the tail megakernel spans both tp psums
+            and not ring
             and (hs % 128 == 0 or interpret_default())
             and cache["k"].shape[-1] == hs
             and (cache["k"].shape[3] % 128 == 0 or not kv_quant)
@@ -662,7 +834,7 @@ def forward(
             from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_stacked
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
-            B, T = tokens.shape
+            B, T = x.shape[:2]
             D = config.dim
             H, KVH = config.n_heads, config.n_kv_heads
             pvec = jnp.broadcast_to(
@@ -737,6 +909,7 @@ def forward(
                 x, caches = _layer_decode_stacked(
                     x, lp, caches, idx, pos, cos, sin, config, precision,
                     backend, idx if stacked else None, cos_il, sin_il,
+                    axis_name, ring,
                 )
                 return (x, caches), None
 
@@ -750,7 +923,6 @@ def forward(
             }
         else:
             new_cache = {"k": caches[0], "v": caches[1]}
-        x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
         return x, new_cache
 
     def body(carry, xs):
@@ -763,7 +935,7 @@ def forward(
         lp = {**layer_params, **stacked}
         x, k_c, v_c, ks_c, vs_c = _layer(
             x, lp, k_c, v_c, pos, cos, sin, config, precision, backend,
-            idx if stacked else None, ks_c, vs_c,
+            idx if stacked else None, ks_c, vs_c, axis_name, ring,
         )
         if kv_quant:
             return x, (k_c, ks_c, v_c, vs_c)
@@ -784,7 +956,6 @@ def forward(
             body, x, (idxs, layer_stack, cache["k"], cache["v"]), unroll=unroll
         )
         new_cache = {"k": k_new, "v": v_new}
-    x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
     return x, new_cache
 
 
@@ -793,6 +964,20 @@ def logits_from_hidden(
     hidden: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
     backend: str = "xla",
+    mesh=None,
 ):
-    """Classifier head: ``hidden @ wcls`` → (.., vocab) float32 logits."""
-    return linear(hidden, params["wcls"], precision, backend).astype(jnp.float32)
+    """Classifier head: ``hidden @ wcls`` → (.., vocab) float32 logits.
+
+    ``mesh``: vocab-sharded classifier via shard_map — each shard runs the
+    fused pallas dequant-matmul on its (D, V/tp) slice, then an all-gather
+    rebuilds the full vocab row (Mosaic kernels are not GSPMD-partitionable,
+    so the mesh path must be explicit; see parallel/tp.py).
+    """
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    w = params["wcls"]
+    if mesh is not None and backend.startswith("pallas") and isinstance(w, QuantTensor):
+        from llama2_tpu.parallel.tp import logits_sharded
+
+        return logits_sharded(hidden, w, mesh, backend)
+    return linear(hidden, w, precision, backend).astype(jnp.float32)

@@ -84,6 +84,7 @@ def _kernel(
     o_ref, xn_ref, h1_ref, h3_ref, acc_ref,
     *, eps: float, D: int, HD: int, G1: int, G2: int,
     bk1: int, s13: int, bk2: int, m: int, T: int, bh: int,
+    residual: bool = True,
 ):
     t = pl.program_id(1)
     s = pl.program_id(2)
@@ -157,20 +158,25 @@ def _kernel(
 
     @pl.when((t == T - 1) & (s == S - 1))
     def _():
-        o_ref[:] = (
-            acc_ref[:] + x_ref[:].astype(jnp.float32)
-        ).astype(o_ref.dtype)
+        # under tensor parallelism the caller psums the partial output
+        # across the model axis first and adds the residual after, so the
+        # kernel must emit the bare FFN partial (residual=False)
+        acc = acc_ref[:]
+        if residual:
+            acc = acc + x_ref[:].astype(jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "group1", "group2", "bm", "interpret", "m_cap"),
+    static_argnames=("eps", "group1", "group2", "bm", "interpret", "m_cap",
+                     "residual"),
     inline=True,
 )
 def _mlp_block_2d(
     x, rms_w, q1, s1, q3, s3, q2, s2, layer,
     eps: float, group1: int, group2: int, bm: int, interpret: bool,
-    m_cap: int | None,
+    m_cap: int | None, residual: bool = True,
 ):
     M, D = x.shape
     L, _, HD = q1.shape
@@ -196,7 +202,7 @@ def _mlp_block_2d(
     out = pl.pallas_call(
         functools.partial(
             _kernel, eps=eps, D=D, HD=HD, G1=group1, G2=group2,
-            bk1=bk1, s13=s13, bk2=bk2, m=m, T=T, bh=bh,
+            bk1=bk1, s13=s13, bk2=bk2, m=m, T=T, bh=bh, residual=residual,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -852,11 +858,17 @@ def mlp_block_stacked(
     *,
     interpret: bool | None = None,
     m_cap: int | None = None,
+    residual: bool = True,
 ) -> jax.Array:
     """``x + swiglu(rmsnorm(x, rms_w) @ w1[layer], ... @ w3[layer]) @ w2[layer]``.
 
     One kernel launch for the whole FFN block; see module docstring.
     ``x (..., D)``; weights layer-stacked 3-D QuantTensors.
+
+    ``residual=False`` emits the bare FFN output (no ``x +``): the
+    tensor-parallel caller holds hidden-sharded w1/w3/w2 shards whose w2
+    outputs are partial sums — it psums across the model axis and adds the
+    residual itself (models/llama.py::_post_attention).
     """
     if not mlp_block_supported(w1, w3, w2):
         raise ValueError("mlp_block_stacked: unsupported shapes (use fallback)")
@@ -875,6 +887,7 @@ def mlp_block_stacked(
     out = _mlp_block_2d(
         x2, rms_w, w1.q, w1.scale, w3.q, w3.scale, w2.q, w2.scale,
         layer, float(eps), w1.group_size, w2.group_size, bm, interpret, m_cap,
+        residual,
     )
     if Mp != M:
         out = out[:M]

@@ -104,6 +104,43 @@ def row_parallel_linear(
     return run(x, w)
 
 
+def ring_linear_local(
+    y: jax.Array, w, axis: str = MODEL_AXIS, layer=None,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Row-parallel linear for use INSIDE shard_map: ``y (..., in/tp)`` is
+    this device's feature shard (e.g. the local attention heads' outputs),
+    ``w (in/tp, out)`` its in-sharded weight shard; returns the fully
+    reduced, replicated ``(..., out)``.
+
+    This is the production wiring of the overlapped collective matmul into
+    the sharded decoder layer (models/llama.py::_row_parallel with
+    ``ring=True``, flag ``collective="ring"``): ring reduce-scatter fused
+    with the chunked dots, then a ring all-gather. ``w`` may be a
+    QuantTensor (dequantized locally — the ring form trades the fused
+    dequant kernel for explicit overlap) and may be layer-stacked
+    ``(L, in/tp, out)`` with ``layer`` the scan's index.
+    """
+    from llama2_tpu.quant.q8 import QuantTensor, dequantize
+
+    tp = int(jax.lax.axis_size(axis))
+    if isinstance(w, QuantTensor):
+        if w.q.ndim == 3 and layer is not None:
+            w = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, False), w
+            )
+        w = dequantize(w, y.dtype)
+    elif w.ndim == 3 and layer is not None:
+        w = jax.lax.dynamic_index_in_dim(w, layer, 0, False)
+    if tp == 1:
+        return jnp.dot(y, w, precision=precision)
+    if w.shape[-1] % tp:
+        # no even out-chunking: fall back to the plain psum reduction
+        return jax.lax.psum(jnp.dot(y, w, precision=precision), axis)
+    acc = ring_rs_matmul(y, w, axis, tp)
+    return _ring_all_gather(acc, axis, tp)
+
+
 def _ring_all_gather(chunk_i: jax.Array, axis: str, tp: int) -> jax.Array:
     """Rebuild the full out dim from per-device chunks; device i holds C_i.
 

@@ -114,7 +114,7 @@ def _host_prngkey(seed: int) -> np.ndarray:
 @partial(
     jax.jit,
     static_argnames=("config", "precision", "backend", "n_windows", "d",
-                     "unroll"),
+                     "unroll", "mesh", "collective"),
     donate_argnames=("cache",),
 )
 def _tick_spec(
@@ -132,6 +132,8 @@ def _tick_spec(
     n_windows: int = 1,
     d: int = 4,
     unroll: int = 1,
+    mesh=None,
+    collective=None,
 ):
     """Batched greedy speculative decode: each window commits up to ``d``
     tokens per ACTIVE slot with one (B, d) forward.
@@ -174,9 +176,10 @@ def _tick_spec(
         seg = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, d)
 
         hidden, cache = forward(
-            params, cache, seg, pos, config, precision, backend, unroll
+            params, cache, seg, pos, config, precision, backend, unroll,
+            mesh, collective,
         )
-        logits = logits_from_hidden(params, hidden, precision, backend)
+        logits = logits_from_hidden(params, hidden, precision, backend, mesh)
         targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, d)
 
         ok = seg[:, 1:] == targets[:, :-1]  # draft i verified by target i-1
@@ -231,7 +234,8 @@ def _tick_spec(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic", "unroll"),
+    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic",
+                     "unroll", "mesh", "collective"),
     donate_argnames=("cache",),
 )
 def _tick(
@@ -252,6 +256,8 @@ def _tick(
     n_ticks: int = 1,
     stochastic: bool = True,
     unroll: int = 1,
+    mesh=None,
+    collective=None,
 ):
     """Run ``n_ticks`` batched decode steps on device per host sync.
 
@@ -270,9 +276,11 @@ def _tick(
         tokens, pos, budget, active, cache = carry
         hidden, cache = forward(
             params, cache, tokens[:, None], pos, config, precision, backend,
-            unroll,
+            unroll, mesh, collective,
         )
-        logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
+        logits = logits_from_hidden(
+            params, hidden[:, -1, :], precision, backend, mesh
+        )
         nxt = _sample_batched(
             logits, temperature, top_p, use_argmax,
             _slot_keys(base_keys, pos), stochastic,
@@ -306,11 +314,12 @@ def _tick(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend"),
+    static_argnames=("config", "precision", "backend", "mesh", "collective"),
     donate_argnames=("cache",),
 )
 def _write_prefill(
-    params, cache, seg, pos, slot, *, config, precision, backend
+    params, cache, seg, pos, slot, *, config, precision, backend, mesh=None,
+    collective=None,
 ):
     """Prefill a (1, T) segment into batch slot ``slot``; returns last logits.
 
@@ -319,12 +328,14 @@ def _write_prefill(
     specialization, bounded by PREFILL_CHUNKS.
     """
     plane = {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1) for k, v in cache.items()}
-    hidden, plane = forward(params, plane, seg, pos, config, precision, backend)
+    hidden, plane = forward(
+        params, plane, seg, pos, config, precision, backend, 1, mesh, collective
+    )
     cache = {
         k: jax.lax.dynamic_update_slice_in_dim(cache[k], plane[k], slot, axis=1)
         for k in cache
     }
-    logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
+    logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend, mesh)
     return logits[0], cache
 
 
@@ -332,6 +343,11 @@ class BatchEngine:
     """Continuous batching over a fixed pool of KV-cache slots."""
 
     _DENSE_CACHE = True  # PagedBatchEngine overrides: pools replace slots
+    # ticks run the model through forward(), which can shard_map the fused
+    # pallas kernels over a mesh (parallel/tp.py); the paged engine's ticks
+    # drive the page-table kernels directly and override this off until its
+    # own shard_map composition lands
+    _SHARD_MAP_TICKS = True
 
     def __init__(
         self,
@@ -348,6 +364,7 @@ class BatchEngine:
         mesh=None,
         max_retries: int = 1,
         pipeline_depth: int = 2,
+        collective: str | None = None,
     ):
         self.config = config
         self.batch_size = batch_size
@@ -368,13 +385,48 @@ class BatchEngine:
         # (new tokens then arrive in bursts of up to this size)
         self.ticks_per_sync = max(1, ticks_per_sync)
         self.precision = precision
-        if mesh is not None and backend.startswith("pallas"):
-            # Mosaic kernels are not GSPMD-partitionable: under a mesh the
-            # tick runs the XLA kernels (one GSPMD program, collectives on
-            # ICI); the pallas fast path is the single-chip configuration.
-            # (Fused QuantTensor layouts also violate the tested sharding
-            # specs — the 9-key layout shards cleanly.)
-            backend = "xla"
+        # fwd_mesh: the mesh handed to forward() — opts the tick into the
+        # explicit shard_map path (parallel/tp.py) where the fused pallas
+        # kernels run per-shard (Mosaic is not GSPMD-partitionable, so this
+        # is the ONLY way --mesh composes with --kernels pallas). None keeps
+        # the plain GSPMD program driven by input shardings.
+        self.fwd_mesh = None
+        if collective not in (None, "ring"):
+            raise ValueError(f"unknown collective {collective!r}")
+        self.collective = collective
+        if mesh is not None and collective == "ring":
+            if not self._SHARD_MAP_TICKS:
+                raise NotImplementedError(
+                    "collective='ring' is not wired into the paged ticks yet"
+                )
+            from llama2_tpu.parallel.tp import tp_ring_supported
+
+            ok, why = tp_ring_supported(params, config, mesh)
+            if not ok:
+                raise ValueError(f"collective='ring' unsupported here: {why}")
+            self.fwd_mesh = mesh
+        elif mesh is not None and backend.startswith("pallas"):
+            from llama2_tpu.parallel.tp import tp_pallas_supported
+
+            ok, why = (
+                tp_pallas_supported(params, config, mesh)
+                if self._SHARD_MAP_TICKS
+                else (False, "paged ticks drive the page-table kernels "
+                             "directly (shard_map composition pending)")
+            )
+            if ok:
+                self.fwd_mesh = mesh
+            else:
+                # no silent downgrades: say exactly why the fast path is off
+                import warnings
+
+                warnings.warn(
+                    f"--mesh with --kernels {backend}: fused kernels cannot "
+                    f"shard this model ({why}); falling back to the XLA "
+                    "dequant path (measured ~9x slower on the weight stream)",
+                    stacklevel=2,
+                )
+                backend = "xla"
         self.backend = backend
         self.dtype = jnp.dtype(dtype)
         self.params = jax.tree.map(
@@ -392,8 +444,16 @@ class BatchEngine:
 
         if backend.startswith("pallas") and isinstance(self.params.get("wq"), QuantTensor):
             from llama2_tpu.models.llama import fuse_layer_params
+            from llama2_tpu.parallel.mesh import MODEL_AXIS
 
-            self.params = fuse_layer_params(self.params, backend)
+            # under the shard_map path the QKV fusion is SHARD-BLOCKED so
+            # each model-axis shard holds a self-contained [q|k|v] block
+            shards = (
+                self.fwd_mesh.shape[MODEL_AXIS]
+                if self.fwd_mesh is not None
+                else 1
+            )
+            self.params = fuse_layer_params(self.params, backend, shards)
         if mesh is not None:
             from llama2_tpu.parallel.sharding import shard_params
 
@@ -629,6 +689,8 @@ class BatchEngine:
                         config=self.config,
                         precision=self.precision,
                         backend=self.backend,
+                        mesh=self.fwd_mesh,
+                        collective=self.collective,
                     )
                     pos += len(seg)
                     remaining = remaining[len(seg):]
@@ -711,6 +773,8 @@ class BatchEngine:
                 n_windows=self.ticks_per_sync,
                 d=self.spec_window,
                 unroll=self.layer_unroll,
+                mesh=self.fwd_mesh,
+                collective=self.collective,
             )
             self._replay(np.asarray(packed))
             return
@@ -780,6 +844,8 @@ class BatchEngine:
             n_ticks=self.ticks_per_sync,
             stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
             unroll=self.layer_unroll,
+            mesh=self.fwd_mesh,
+            collective=self.collective,
         )
         self._chain = (packed[-3], packed[-2], budget, packed[-1].astype(bool))
         self._inflight.append(packed)

@@ -209,6 +209,8 @@ class PagedBatchEngine(BatchEngine):
     """BatchEngine with a paged KV cache (slot planes -> page tables)."""
 
     _DENSE_CACHE = False  # pools replace slot planes; see BatchEngine
+    _SHARD_MAP_TICKS = False  # paged ticks call the page-table kernels
+    # directly; mesh + pallas downgrades (loudly) to the XLA paged path
 
     def __init__(
         self,

@@ -16,7 +16,7 @@ Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [--paged [--page-size 256] [--pages N] [--prefix-cache]]
           [--ticks-per-sync K] [--pipeline-depth P] [--kv-cache f32|int8]
           [--spec N]
-          [--kernels xla|pallas] [--mesh DPxTP]
+          [--kernels xla|pallas] [--mesh DPxTP] [--collective-matmul]
 
 ``--paged`` switches the KV cache to the paged layout
 (runtime/paged_engine.py): memory scales with tokens in flight instead of
@@ -24,7 +24,10 @@ batch_size * seq_len. ``--prefix-cache`` adds vLLM-style automatic prefix
 caching: full prompt-prefix pages are shared across requests, so repeated
 system prompts prefill only their unique suffix. ``--mesh 2x4`` serves over
 a (data, model) device mesh: params tensor-shard over ``model``, slots over
-``data``, every tick one GSPMD program (parallel/sharding.py).
+``data``, every tick one program (parallel/sharding.py; with ``--kernels
+pallas`` the tick runs the fused kernels per-shard inside shard_map —
+parallel/tp.py). ``--collective-matmul`` swaps the row-parallel wo/w2
+psums for the explicit overlapped ring (parallel/collective_matmul.py).
 """
 
 from __future__ import annotations
@@ -172,6 +175,7 @@ def main(argv=None):
     spec = 0
     kernels = "xla"
     mesh_spec = None
+    collective = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -227,6 +231,10 @@ def main(argv=None):
         elif a == "--mesh":
             i += 1
             mesh_spec = argv[i]
+        elif a == "--collective-matmul":
+            # explicit overlapped ring for the row-parallel wo/w2 reduces
+            # (parallel/collective_matmul.py); requires --mesh
+            collective = "ring"
         elif a == "--page-size":
             i += 1
             page_size = int(argv[i])
@@ -248,6 +256,12 @@ def main(argv=None):
         return 1
     if prefix_cache and not paged:
         print("--prefix-cache requires --paged", file=sys.stderr)
+        return 1
+    if collective and (mesh_spec is None or paged):
+        print(
+            "--collective-matmul requires --mesh and the dense engine",
+            file=sys.stderr,
+        )
         return 1
     if mesh_spec is not None:
         try:
@@ -311,6 +325,7 @@ def main(argv=None):
             spec_window=spec,
             backend=kernels,
             mesh=mesh,
+            collective=collective,
         )
     serve(engine, tokenizer, host, port)
     return 0

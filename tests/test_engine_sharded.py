@@ -127,9 +127,10 @@ def test_sharded_paged_engine_q8_pools(model):
 
 
 def test_mesh_downgrades_pallas_to_xla():
-    """--mesh + --kernels pallas serves through the XLA/GSPMD path (Mosaic
-    kernels are not GSPMD-partitionable); streams match the single-device
-    XLA engine."""
+    """--mesh + --kernels pallas on a model the fused kernels CANNOT shard
+    (tp=4 > n_heads=2) warns loudly and serves through the XLA/GSPMD path;
+    streams match the single-device XLA engine. (Shardable models keep the
+    pallas kernels via shard_map — tests/test_tp_pallas.py.)"""
     import numpy as np
 
     from llama2_tpu.config import ModelConfig
@@ -155,9 +156,10 @@ def test_mesh_downgrades_pallas_to_xla():
     qp = quantize_params(params, group_size=64)
     gen = GenerationConfig(temperature=0.0, steps=12)
     want = _serve(BatchEngine(cfg, qp, batch_size=2, kv_quant=True), gen)
-    eng = BatchEngine(
-        cfg, qp, batch_size=2, backend="pallas", kv_quant=True,
-        mesh=make_mesh(2, 4),
-    )
+    with pytest.warns(UserWarning, match="falling back to the XLA"):
+        eng = BatchEngine(
+            cfg, qp, batch_size=2, backend="pallas", kv_quant=True,
+            mesh=make_mesh(2, 4),
+        )
     assert eng.backend == "xla"
     assert _serve(eng, gen) == want
