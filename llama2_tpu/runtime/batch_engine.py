@@ -111,6 +111,80 @@ def _host_prngkey(seed: int) -> np.ndarray:
     return np.array([0, int(seed) & 0xFFFFFFFF], dtype=np.uint32)
 
 
+def _spec_drafts(hist, tokens, pos, d: int, S: int):
+    """Per-slot prompt-lookup draft segments continuing ``tokens``.
+
+    For each slot, find the latest occurrence of its last committed token in
+    its own emitted history (strictly before the current position) and take
+    the d-1 tokens that followed it as drafts; where no occurrence or history
+    exists the draft degenerates to repeating the token (always verified
+    against the real targets, so wrong drafts only cost acceptance). Returns
+    the (B, d) window input ``[last_token, draft_1..draft_{d-1}]``.
+    """
+    idx = jnp.arange(S)
+
+    def draft_row(h, tok, p):
+        match = (h == tok) & (idx < p - 1)
+        j = jnp.max(jnp.where(match, idx, -1))
+        outs = []
+        for k in range(d - 1):
+            t = h[jnp.clip(j + 1 + k, 0, S - 1)]
+            outs.append(jnp.where((j >= 0) & (t >= 0), t, tok))
+        return jnp.stack(outs)
+
+    drafts = jax.vmap(draft_row)(hist, tokens, pos)  # (B, d-1)
+    return jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, d)
+
+
+def _spec_commit(seg, targets, hist, tokens, pos, budget, active, d: int, S: int):
+    """Verify a speculative window and commit the accepted prefix per slot.
+
+    ``seg`` is the (B, d) window input, ``targets`` its (B, d) per-position
+    argmaxes. Draft i is verified by target i-1; the emitted tokens are the
+    target prefix whose draft inputs matched, truncated at BOS / budget /
+    inactive. Returns the updated ``(hist, tokens, pos, budget, active)``
+    carry plus ``emitted`` (B, d) int32 with -1 where nothing was emitted
+    (BOS itself is emitted so the host replay can retire the slot).
+    """
+    ok = seg[:, 1:] == targets[:, :-1]  # draft i verified by target i-1
+    acc = 1 + jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+
+    emit_idx = jnp.arange(d)[None, :]
+    is_bos = targets == BOS
+    before_bos = (jnp.cumsum(is_bos.astype(jnp.int32), axis=1) - is_bos) == 0
+    keep = (
+        (emit_idx < acc[:, None])
+        & before_bos
+        & ~is_bos
+        & (emit_idx < budget[:, None])
+        & active[:, None]
+    )
+    n_emit = jnp.sum(keep.astype(jnp.int32), axis=1)  # (B,)
+    saw_bos = jnp.any((emit_idx < acc[:, None]) & is_bos & active[:, None], axis=1)
+
+    emitted = jnp.where(keep, targets, -1)  # (B, d)
+    # BOS must reach the host replay so it can retire the slot
+    emitted = jnp.where(
+        (emit_idx == n_emit[:, None]) & saw_bos[:, None], BOS, emitted
+    )
+
+    def write_hist(h, em, p):
+        def one(k, hh):
+            return jnp.where(
+                em[k] >= 0, hh.at[jnp.clip(p + k, 0, S - 1)].set(em[k]), hh
+            )
+        return jax.lax.fori_loop(0, d, one, h)
+
+    hist = jax.vmap(write_hist)(hist, jnp.where(keep, targets, -1), pos)
+    last = jnp.clip(n_emit - 1, 0, d - 1)
+    new_tok = jnp.take_along_axis(targets, last[:, None], axis=1)[:, 0]
+    tokens = jnp.where(n_emit > 0, new_tok, tokens)
+    pos = jnp.where(active, jnp.minimum(pos + n_emit, S - 1), pos)
+    budget = budget - n_emit
+    active = active & ~saw_bos & (n_emit == acc) & (budget > 0)
+    return hist, tokens, pos, budget, active, emitted
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "precision", "backend", "n_windows", "d",
@@ -157,67 +231,19 @@ def _tick_spec(
     """
     B = tokens.shape[0]
     S = config.seq_len
-    idx = jnp.arange(S)
 
     def window(carry, _):
         hist, tokens, pos, budget, active, cache = carry
-
-        # per-slot prompt-lookup drafts continuing `tokens`
-        def draft_row(h, tok, p):
-            match = (h == tok) & (idx < p - 1)
-            j = jnp.max(jnp.where(match, idx, -1))
-            outs = []
-            for k in range(d - 1):
-                t = h[jnp.clip(j + 1 + k, 0, S - 1)]
-                outs.append(jnp.where((j >= 0) & (t >= 0), t, tok))
-            return jnp.stack(outs)
-
-        drafts = jax.vmap(draft_row)(hist, tokens, pos)  # (B, d-1)
-        seg = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, d)
-
+        seg = _spec_drafts(hist, tokens, pos, d, S)  # (B, d)
         hidden, cache = forward(
             params, cache, seg, pos, config, precision, backend, unroll,
             mesh, collective,
         )
         logits = logits_from_hidden(params, hidden, precision, backend, mesh)
         targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, d)
-
-        ok = seg[:, 1:] == targets[:, :-1]  # draft i verified by target i-1
-        acc = 1 + jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
-
-        emit_idx = jnp.arange(d)[None, :]
-        is_bos = targets == BOS
-        before_bos = (jnp.cumsum(is_bos.astype(jnp.int32), axis=1) - is_bos) == 0
-        keep = (
-            (emit_idx < acc[:, None])
-            & before_bos
-            & ~is_bos
-            & (emit_idx < budget[:, None])
-            & active[:, None]
+        hist, tokens, pos, budget, active, emitted = _spec_commit(
+            seg, targets, hist, tokens, pos, budget, active, d, S
         )
-        n_emit = jnp.sum(keep.astype(jnp.int32), axis=1)  # (B,)
-        saw_bos = jnp.any((emit_idx < acc[:, None]) & is_bos & active[:, None], axis=1)
-
-        emitted = jnp.where(keep, targets, -1)  # (B, d)
-        # BOS must reach the host replay so it can retire the slot
-        emitted = jnp.where(
-            (emit_idx == n_emit[:, None]) & saw_bos[:, None], BOS, emitted
-        )
-
-        def write_hist(h, em, p):
-            def one(k, hh):
-                return jnp.where(
-                    em[k] >= 0, hh.at[jnp.clip(p + k, 0, S - 1)].set(em[k]), hh
-                )
-            return jax.lax.fori_loop(0, d, one, h)
-
-        hist = jax.vmap(write_hist)(hist, jnp.where(keep, targets, -1), pos)
-        last = jnp.clip(n_emit - 1, 0, d - 1)
-        new_tok = jnp.take_along_axis(targets, last[:, None], axis=1)[:, 0]
-        tokens = jnp.where(n_emit > 0, new_tok, tokens)
-        pos = jnp.where(active, jnp.minimum(pos + n_emit, S - 1), pos)
-        budget = budget - n_emit
-        active = active & ~saw_bos & (n_emit == acc) & (budget > 0)
         return (hist, tokens, pos, budget, active, cache), emitted.T  # (d, B)
 
     carry = (hist, tokens, pos, budget, active, cache)
