@@ -378,3 +378,207 @@ def paged_forward_step(
     )
     x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
     return x, k_pool, v_pool
+
+
+def _write_window_rows(pool, rows, idx, page_ids, row_ids):
+    """Scatter a (B, KVH, T, hs) window of rows into layer ``idx`` of the
+    (L, P, KVH, page, hs) pool at per-(slot, token) ``(page, row)`` coords
+    (each (B, T) int32). A lax.scan of per-row dynamic_update_slices keeps
+    the carry in place (a vmapped write would lower to scatter + full-pool
+    copy — CLAUDE.md per-row KV write rule)."""
+    B, KVH, T, hs = rows.shape
+    flat = rows.transpose(0, 2, 1, 3).reshape(B * T, KVH, hs)
+    pids, rids = page_ids.reshape(-1), row_ids.reshape(-1)
+
+    def per_row(pool, r):
+        row = jax.lax.dynamic_index_in_dim(flat, r, 0, keepdims=False)
+        upd = row[None, None, :, None, :]  # (1, 1, KVH, 1, hs)
+        return jax.lax.dynamic_update_slice(
+            pool, upd.astype(pool.dtype), (idx, pids[r], 0, rids[r], 0)
+        ), None
+
+    pool, _ = jax.lax.scan(per_row, pool, jnp.arange(B * T))
+    return pool
+
+
+def _write_window_scales(spool, scales, idx, page_ids, row_ids):
+    """Scale twin of :func:`_write_window_rows`: (B, KVH, T) per-row scales
+    into the (L, P, KVH, page) pool."""
+    B, KVH, T = scales.shape
+    flat = scales.transpose(0, 2, 1).reshape(B * T, KVH)
+    pids, rids = page_ids.reshape(-1), row_ids.reshape(-1)
+
+    def per_row(spool, r):
+        s = jax.lax.dynamic_index_in_dim(flat, r, 0, keepdims=False)
+        upd = s[None, None, :, None]  # (1, 1, KVH, 1)
+        return jax.lax.dynamic_update_slice(
+            spool, upd.astype(spool.dtype), (idx, pids[r], 0, rids[r])
+        ), None
+
+    spool, _ = jax.lax.scan(per_row, spool, jnp.arange(B * T))
+    return spool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend", "unroll"),
+    donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
+    inline=True,
+)
+def paged_forward_window(
+    params: dict,
+    k_pool: jax.Array,
+    v_pool: jax.Array,
+    table: jax.Array,  # (B, max_pages) int32
+    seg: jax.Array,  # (B, T) int32 — teacher-forced window tokens
+    pos: jax.Array,  # (B,) int32 position of seg[:, 0]
+    config: ModelConfig,
+    precision=jax.lax.Precision.HIGHEST,
+    backend: str = "xla",
+    unroll: int = 1,
+    ks_pool: jax.Array | None = None,
+    vs_pool: jax.Array | None = None,
+):
+    """A (B, T) teacher-forced decode window over the page pools — the paged
+    counterpart of the dense spec window (``batch_engine._tick_spec``'s
+    forward): every slot runs T tokens at positions ``pos..pos+T-1``,
+    appending each row through its page table.
+
+    Write coordinates are computed ON DEVICE from ``table`` (the window's
+    position advance is data-dependent under speculation, so the host cannot
+    precompute them like the plain paged tick does); positions past
+    ``seq_len`` route to the scratch page (page 0) — the paged analog of the
+    dense spec cache's overshoot pad rows. Projections keep the quant/pallas
+    matmul path (the weight stream the window amortizes); attention runs the
+    XLA paged oracle with intra-window causality (the pallas paged kernels
+    are single-query appenders).
+
+    Returns ``(hidden (B, T, D), pools...)`` with the same pool arity as
+    :func:`paged_forward_step`.
+    """
+    B, T = seg.shape
+    H, KVH, hs_real = config.n_heads, config.n_kv_heads, config.head_size
+    hs_c = k_pool.shape[-1]
+    ps = k_pool.shape[3]
+    S = config.seq_len
+    D = config.dim
+    kv_quant = ks_pool is not None
+
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    x = jnp.take(params["tok_emb"], seg, axis=0)  # (B, T, D)
+    x = x.astype(params.get("wq", params.get("wqkv")).dtype)
+    positions = pos[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    cos, sin = ops.rope_angles(positions, hs_real)
+
+    # per-(slot, token) write coords through the table; invalid (>= seq_len)
+    # positions go to the scratch page, never corrupting committed rows
+    valid = positions < S
+    pidx = jnp.clip(positions // ps, 0, table.shape[1] - 1)
+    page_ids = jnp.where(valid, jnp.take_along_axis(table, pidx, axis=1), 0)
+    row_ids = jnp.where(valid, positions % ps, 0).astype(jnp.int32)
+    page_ids = page_ids.astype(jnp.int32)
+
+    keys = layer_keys(params)
+    stacked = {
+        k: params[k] for k in keys if isinstance(params[k], QuantTensor)
+    }
+    layer_stack = {k: params[k] for k in keys if k not in stacked}
+
+    from llama2_tpu.ops.pallas.attention_q8 import dequantize_kv, quantize_kv_rows
+    from llama2_tpu.ops.pallas.paged_attention import paged_attention_oracle
+
+    def body(carry, xs):
+        if kv_quant:
+            x, k_pool, ks_pool, v_pool, vs_pool = carry
+        else:
+            x, k_pool, v_pool = carry
+            ks_pool = vs_pool = None
+        idx, sliced = xs
+        lp = {**sliced, **stacked}
+        li = idx if stacked else None
+        fuse_glue = (
+            backend.startswith("pallas")
+            and li is not None
+            and isinstance(lp.get("wqkv"), QuantTensor)
+            and lp["wqkv"].q.ndim == 3
+        )
+        kv = KVH * hs_real
+        if fuse_glue:
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            qkv = quant_matmul_stacked(
+                x, lp["wqkv"], li, rms_w=lp["rms_att"], eps=config.norm_eps
+            )
+            q = qkv[..., :D].reshape(B, T, H, hs_real)
+            k = qkv[..., D : D + kv].reshape(B, T, KVH, hs_real)
+            v = qkv[..., D + kv :].reshape(B, T, KVH, hs_real)
+        elif "wqkv" in lp:
+            xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
+            qkv = linear(xb, lp["wqkv"], precision, backend, li)
+            q = qkv[..., :D].reshape(B, T, H, hs_real)
+            k = qkv[..., D : D + kv].reshape(B, T, KVH, hs_real)
+            v = qkv[..., D + kv :].reshape(B, T, KVH, hs_real)
+        else:
+            xb = ops.rmsnorm(x, lp["rms_att"], config.norm_eps)
+            q = linear(xb, lp["wq"], precision, backend, li).reshape(B, T, H, hs_real)
+            k = linear(xb, lp["wk"], precision, backend, li).reshape(B, T, KVH, hs_real)
+            v = linear(xb, lp["wv"], precision, backend, li).reshape(B, T, KVH, hs_real)
+        q = ops.apply_rope(q, cos, sin)
+        k = ops.apply_rope(k, cos, sin)
+        if hs_c != hs_real:
+            pad = [(0, 0)] * 3 + [(0, hs_c - hs_real)]
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        k_bh = k.transpose(0, 2, 1, 3)  # (B, KVH, T, hs)
+        v_bh = v.transpose(0, 2, 1, 3)
+
+        scale = 1.0 / (hs_real**0.5)
+        if kv_quant:
+            k8, k_sc = quantize_kv_rows(k_bh)  # (B,KVH,T,hs), (B,KVH,T)
+            v8, v_sc = quantize_kv_rows(v_bh)
+            k_pool = _write_window_rows(k_pool, k8, idx, page_ids, row_ids)
+            v_pool = _write_window_rows(v_pool, v8, idx, page_ids, row_ids)
+            ks_pool = _write_window_scales(ks_pool, k_sc, idx, page_ids, row_ids)
+            vs_pool = _write_window_scales(vs_pool, v_sc, idx, page_ids, row_ids)
+            att = paged_attention_oracle(
+                q,
+                dequantize_kv(
+                    jax.lax.dynamic_index_in_dim(k_pool, idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(ks_pool, idx, 0, False),
+                ),
+                dequantize_kv(
+                    jax.lax.dynamic_index_in_dim(v_pool, idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(vs_pool, idx, 0, False),
+                ),
+                table, pos, scale=scale,
+            )
+        else:
+            k_pool = _write_window_rows(k_pool, k_bh, idx, page_ids, row_ids)
+            v_pool = _write_window_rows(v_pool, v_bh, idx, page_ids, row_ids)
+            att = paged_attention_oracle(
+                q,
+                jax.lax.dynamic_index_in_dim(k_pool, idx, 0, False),
+                jax.lax.dynamic_index_in_dim(v_pool, idx, 0, False),
+                table, pos, scale=scale,
+            )
+        att = att[..., :hs_real].reshape(B, T, config.dim)
+        from llama2_tpu.models.llama import _post_attention
+
+        x = _post_attention(x, att, lp, config, precision, backend, li)
+        if kv_quant:
+            return (x, k_pool, ks_pool, v_pool, vs_pool), None
+        return (x, k_pool, v_pool), None
+
+    idxs = jnp.arange(config.n_layers, dtype=jnp.int32)
+    if kv_quant:
+        (x, k_pool, ks_pool, v_pool, vs_pool), _ = jax.lax.scan(
+            body, (x, k_pool, ks_pool, v_pool, vs_pool),
+            (idxs, layer_stack), unroll=unroll,
+        )
+        x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+        return x, k_pool, ks_pool, v_pool, vs_pool
+    (x, k_pool, v_pool), _ = jax.lax.scan(
+        body, (x, k_pool, v_pool), (idxs, layer_stack), unroll=unroll
+    )
+    x = ops.rmsnorm(x, params["rms_final"], config.norm_eps)
+    return x, k_pool, v_pool

@@ -29,7 +29,7 @@ import numpy as np
 
 from llama2_tpu.config import ModelConfig
 from llama2_tpu.models.llama import forward, init_cache, logits_from_hidden
-from llama2_tpu.models.paged import paged_forward_step
+from llama2_tpu.models.paged import paged_forward_step, paged_forward_window
 from llama2_tpu.ops import sampling
 from llama2_tpu.runtime.batch_engine import (
     BOS,
@@ -37,6 +37,8 @@ from llama2_tpu.runtime.batch_engine import (
     Request,
     _sample_batched,
     _slot_keys,
+    _spec_commit,
+    _spec_drafts,
 )
 from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool
 
@@ -112,6 +114,81 @@ def _tick_paged(
     # budget returns separately so a pipelined caller can chain the next
     # window's inputs from DEVICE arrays (see BatchEngine._dispatch_tick)
     return packed, budget, k_pool, v_pool, ks_pool, vs_pool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "precision", "backend", "n_windows", "d", "unroll"),
+    donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
+)
+def _tick_spec_paged(
+    params, k_pool, v_pool, table, hist, tokens, pos, budget, active,
+    *, config: ModelConfig, precision, backend: str,
+    n_windows: int = 1, d: int = 4, unroll: int = 1,
+    ks_pool=None, vs_pool=None,
+):
+    """Paged twin of ``batch_engine._tick_spec``: each window runs one
+    (B, d) teacher-forced forward over the page pools
+    (:func:`llama2_tpu.models.paged.paged_forward_window` — write coords
+    come from the table on device) and commits the verified target prefix
+    per slot via the shared draft/commit helpers, so streams are identical
+    to the plain paged tick by the same per-slot argument.
+
+    The host must back every slot's table for ``n_windows * d`` positions
+    ahead of ``pos`` before dispatch (``PagedBatchEngine._grow_tables``);
+    position overshoot past ``seq_len`` routes to the scratch page inside
+    the window forward. Packed layout matches ``_tick_spec`` (emitted rows,
+    then tokens/pos/active) so ``BatchEngine._replay`` applies unchanged.
+    """
+    B = tokens.shape[0]
+    S = config.seq_len
+    kv_quant = ks_pool is not None
+
+    def window(carry, _):
+        if kv_quant:
+            hist, tokens, pos, budget, active, k_pool, ks_pool, v_pool, vs_pool = carry
+        else:
+            hist, tokens, pos, budget, active, k_pool, v_pool = carry
+            ks_pool = vs_pool = None
+        seg = _spec_drafts(hist, tokens, pos, d, S)  # (B, d)
+        if kv_quant:
+            hidden, k_pool, ks_pool, v_pool, vs_pool = paged_forward_window(
+                params, k_pool, v_pool, table, seg, pos, config, precision,
+                backend, unroll, ks_pool=ks_pool, vs_pool=vs_pool,
+            )
+        else:
+            hidden, k_pool, v_pool = paged_forward_window(
+                params, k_pool, v_pool, table, seg, pos, config, precision,
+                backend, unroll,
+            )
+        logits = logits_from_hidden(params, hidden, precision, backend)
+        targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, d)
+        hist, tokens, pos, budget, active, emitted = _spec_commit(
+            seg, targets, hist, tokens, pos, budget, active, d, S
+        )
+        if kv_quant:
+            carry = (hist, tokens, pos, budget, active,
+                     k_pool, ks_pool, v_pool, vs_pool)
+        else:
+            carry = (hist, tokens, pos, budget, active, k_pool, v_pool)
+        return carry, emitted.T  # (d, B)
+
+    if kv_quant:
+        init = (hist, tokens, pos, budget, active,
+                k_pool, ks_pool, v_pool, vs_pool)
+    else:
+        init = (hist, tokens, pos, budget, active, k_pool, v_pool)
+    carry, emitted = jax.lax.scan(window, init, None, length=n_windows)
+    if kv_quant:
+        hist, tokens, pos, budget, active, k_pool, ks_pool, v_pool, vs_pool = carry
+    else:
+        hist, tokens, pos, budget, active, k_pool, v_pool = carry
+    emitted = emitted.reshape(n_windows * d, B)
+    packed = jnp.concatenate(
+        [emitted, tokens[None], pos[None], active.astype(jnp.int32)[None]],
+        axis=0,
+    )
+    return packed, k_pool, v_pool, ks_pool, vs_pool
 
 
 @partial(
@@ -570,6 +647,14 @@ class PagedBatchEngine(BatchEngine):
             self._finish(slot_req=req, slot=slot)
 
     def _decode_tick(self):
+        active = np.asarray([r is not None for r in self.slots])
+        if (
+            self.spec_window
+            and active.any()
+            and not np.any(~self._argmax[active])
+        ):
+            self._spec_tick()
+            return
         K = self.ticks_per_sync
         if self._chain is None:
             # fresh pipeline: the host mirrors are current
@@ -580,6 +665,47 @@ class PagedBatchEngine(BatchEngine):
             return
         self._dispatch_tick(np.asarray([r is not None for r in self.slots]))
         self._drain(self.pipeline_depth - 1)
+
+    def _spec_tick(self):
+        """Greedy speculative windows over the page pools (the paged twin of
+        BatchEngine._decode_tick's spec branch): flush the pipeline (spec
+        reads host histories and cannot chain), back every slot's table for
+        the full window span — speculation's position advance is
+        data-dependent, so the device computes write coords from the table
+        and the host only guarantees the pages exist — then run the windows
+        and replay the packed sync."""
+        import dataclasses as _dc
+
+        self._drain(0)
+        self._pos_ahead = self._pos.copy()
+        if not any(self.slots):
+            return
+        # a window span of pages must exist ahead of every active slot;
+        # growth may preempt under memory pressure — recompute active after
+        self._grow_tables(self.ticks_per_sync * self.spec_window)
+        active = np.asarray([r is not None for r in self.slots])
+        if not active.any():
+            return
+        S = self.config.seq_len
+        hist = np.full((self.batch_size, S), -1, np.int32)
+        for slot, req in enumerate(self.slots):
+            if req is not None:
+                hist[slot, : len(req.tokens)] = req.tokens[:S]
+        packed, k_pool, v_pool, ks_pool, vs_pool = _tick_spec_paged(
+            self.params, self.pool.k, self.pool.v,
+            jnp.asarray(self._tables), jnp.asarray(hist),
+            jnp.asarray(self._tokens), jnp.asarray(self._pos),
+            jnp.asarray(self._host_budget()), jnp.asarray(active),
+            config=self.config, precision=self.precision,
+            backend=self.backend, n_windows=self.ticks_per_sync,
+            d=self.spec_window, unroll=self.layer_unroll,
+            ks_pool=self.pool.ks, vs_pool=self.pool.vs,
+        )
+        self.pool = _dc.replace(
+            self.pool, k=k_pool, v=v_pool, ks=ks_pool, vs=vs_pool
+        )
+        self._replay(np.asarray(packed))
+        self._pos_ahead = self._pos.copy()
 
     def _dispatch_tick(self, active: np.ndarray):
         """Paged twin of BatchEngine._dispatch_tick: window inputs chain

@@ -251,9 +251,6 @@ def main(argv=None):
         print(__doc__, file=sys.stderr)
         return 1
 
-    if paged and spec:
-        print("--paged does not support --spec yet", file=sys.stderr)
-        return 1
     if prefix_cache and not paged:
         print("--prefix-cache requires --paged", file=sys.stderr)
         return 1
@@ -310,6 +307,7 @@ def main(argv=None):
             pipeline_depth=pipeline_depth,
             backend=kernels,
             kv_quant=kv_cache == "int8",
+            spec_window=spec,
             mesh=mesh,
             prefix_cache=prefix_cache,
         )

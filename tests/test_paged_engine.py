@@ -110,6 +110,121 @@ def test_impossible_prompt_fails_fast(setup):
     assert isinstance(res, OutOfPages)
 
 
+@pytest.mark.parametrize("d,windows", [(4, 1), (4, 4), (8, 2)])
+def test_paged_spec_token_identical(setup, d, windows):
+    """Speculative windows over the page pools emit exactly the plain greedy
+    streams — across slot reuse, page-boundary crossings mid-window, and
+    varied lengths (page_size 8 < d*windows forces in-window growth)."""
+    config, params, ref = setup
+    prompts = [[5, 17], [], [320, 9, 44], [7], [250, 4, 99, 2, 18]]
+    gen = GenerationConfig(temperature=0.0, steps=23)
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=8, n_pages=24,
+        spec_window=d, ticks_per_sync=windows,
+    )
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for p, want, q in zip(prompts, expected, queues):
+        got = q.get(timeout=60).tokens
+        assert got == want, f"prompt {p}: {got} != {want}"
+    assert all(not p for p in eng._slot_pages)  # pages all released
+
+
+def test_paged_spec_full_seq_len(setup):
+    """steps == seq_len: draft windows overshoot past seq_len and must route
+    to the scratch page without corrupting committed rows."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=0)  # model max
+    want = ref.generate([9, 4], gen).tokens
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=8,
+        n_pages=2 * (config.seq_len // 8) + 4, spec_window=4,
+        ticks_per_sync=8,
+    )
+    q = eng.submit([9, 4], gen)
+    eng.run_until_idle()
+    assert q.get(timeout=120).tokens == want
+
+
+def test_paged_spec_int8_kv_matches_plain_paged(setup):
+    """INT8 KV pools under speculation: committed rows quantize the same
+    teacher-forced values the plain paged tick writes, so streams are
+    token-identical to the plain INT8 paged engine."""
+    config, params, _ = setup
+    prompts = [[5, 17], [320, 9, 44], [7]]
+    gen = GenerationConfig(temperature=0.0, steps=18)
+
+    def serve(**kw):
+        eng = PagedBatchEngine(
+            config, params, batch_size=2, page_size=8, n_pages=24,
+            kv_quant=True, **kw,
+        )
+        qs = [eng.submit(p, gen) for p in prompts]
+        eng.run_until_idle()
+        return [q.get(timeout=60).tokens for q in qs]
+
+    assert serve(spec_window=4, ticks_per_sync=2) == serve()
+
+
+def test_paged_spec_memory_pressure(setup):
+    """Window-span page growth under a tiny pool preempts and recomputes;
+    every stream still completes exactly."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    prompts = [[4, 8, 15], [16, 23], [42]]
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=3, page_size=8, n_pages=6,
+        spec_window=4, ticks_per_sync=2,
+    )
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle(max_ticks=2000)
+    for want, q in zip(expected, queues):
+        assert q.get(timeout=60).tokens == want
+
+
+def test_paged_spec_mixed_batch_falls_back(setup):
+    """A stochastic request routes the sync through the plain paged tick;
+    all streams stay correct."""
+    config, params, ref = setup
+    g_greedy = GenerationConfig(temperature=0.0, steps=16)
+    g_sampled = GenerationConfig(temperature=0.9, top_p=0.9, steps=16, seed=3)
+    want = ref.generate([5, 17], g_greedy).tokens
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=8, n_pages=24, spec_window=4,
+    )
+    q1 = eng.submit([5, 17], g_greedy)
+    q2 = eng.submit([7], g_sampled)
+    eng.run_until_idle()
+    assert q1.get(timeout=60).tokens == want
+    r2 = q2.get(timeout=60)
+    assert 1 <= len(r2.tokens) <= 16
+
+
+def test_paged_spec_with_prefix_cache(setup):
+    """Prefix sharing composes with speculative windows: identical prompts
+    reuse cached pages and still emit the exact greedy stream."""
+    config, params, ref = setup
+    gen = GenerationConfig(temperature=0.0, steps=34)
+    prompt = list(range(2, 22))  # > 2 full pages of 8
+    want = ref.generate(prompt, gen).tokens
+
+    eng = PagedBatchEngine(
+        config, params, batch_size=2, page_size=8, n_pages=32,
+        spec_window=4, ticks_per_sync=2, prefix_cache=True,
+    )
+    q1 = eng.submit(prompt, gen)
+    q2 = eng.submit(prompt, gen)
+    eng.run_until_idle()
+    assert q1.get(timeout=60).tokens == want
+    assert q2.get(timeout=60).tokens == want
+    assert eng.metrics["prefix_hit_pages"] > 0
+
+
 def test_paged_admission_boundary(setup):
     config, params, ref = setup
     gen = GenerationConfig(temperature=0.0, steps=3)

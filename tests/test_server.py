@@ -165,7 +165,5 @@ def test_mesh_flag_errors(tiny_checkpoint, capsys):
     path, _, _ = tiny_checkpoint
     assert srv.main([path, "--mesh", "banana"]) == 1
     assert "--mesh" in capsys.readouterr().err
-    assert srv.main([path, "--paged", "--spec", "4"]) == 1
-    assert "--paged" in capsys.readouterr().err
     assert srv.main([path, "--kernels", "cuda"]) == 1
     assert "--kernels" in capsys.readouterr().err
