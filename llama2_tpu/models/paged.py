@@ -82,12 +82,20 @@ def paged_forward_step(
     from llama2_tpu.ops.pallas.common import interpret_default
 
     cos_il = sin_il = None
+    from llama2_tpu.ops.pallas.common import paged_scratch_fits
+
     if (
         backend == "pallas"
         and stacked
         and hs_c == hs_real
         and (hs_real % 128 == 0 or interpret_default())
         and (k_pool.shape[3] % 128 == 0 or not kv_quant)
+        # whole pages are the kernels' DMA unit: K+V double buffers for all
+        # KV heads must fit the Mosaic scoped-vmem stack (else compile OOM;
+        # the engine warns and this falls back to the XLA gather path)
+        and paged_scratch_fits(
+            KVH, k_pool.shape[3], hs_c, k_pool.dtype.itemsize
+        )
     ):
         cos_il = jnp.repeat(cos.reshape(B, -1), 2, axis=-1)
         sin_il = jnp.repeat(sin.reshape(B, -1), 2, axis=-1)
@@ -279,7 +287,9 @@ def paged_forward_step(
 
             k8_new, k_sc = quantize_kv_rows(k_bh)  # (B,KVH,1,hs), (B,KVH,1)
             v8_new, v_sc = quantize_kv_rows(v_bh)
-            if backend.startswith("pallas"):
+            if backend.startswith("pallas") and paged_scratch_fits(
+                KVH, k_pool.shape[3], hs_c, 1
+            ):
                 from llama2_tpu.ops.pallas.paged_attention import (
                     paged_decode_attention_q8_stacked,
                 )
@@ -327,7 +337,9 @@ def paged_forward_step(
                     ),
                     table, pos, scale=scale,
                 )
-        elif backend.startswith("pallas"):
+        elif backend.startswith("pallas") and paged_scratch_fits(
+            KVH, k_pool.shape[3], hs_c, k_pool.dtype.itemsize
+        ):
             from llama2_tpu.ops.pallas.paged_attention import (
                 paged_decode_attention_stacked,
             )

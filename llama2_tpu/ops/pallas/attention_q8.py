@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llama2_tpu.ops.pallas.common import interpret_default
+from llama2_tpu.ops.pallas.common import interpret_default, kv_scratch_rows
 
 NEG_INF = float("-inf")
 
@@ -566,7 +566,8 @@ def flash_decode_attention_q8_stacked(
         # fixtures with odd S take the model's XLA fallback instead
         raise ValueError(f"q8 stacked decode requires seq_len % 128 == 0 (got {S})")
     lane = 128
-    cap = min(block_s, max(256, S // 8), S)
+    cap = min(block_s, max(256, S // 8), S,
+              kv_scratch_rows(k8.shape[2], hs, 1))
     bs = lane
     k = 1
     while True:
@@ -765,7 +766,8 @@ def flash_decode_attention_q8_fused(
     if scale is None:
         scale = 1.0 / (hs**0.5)
     lane = 128
-    cap = min(block_s, max(256, S // 8), S)
+    cap = min(block_s, max(256, S // 8), S,
+              kv_scratch_rows(k8.shape[2], hs, 1))
     bs = lane
     k = 1
     while True:

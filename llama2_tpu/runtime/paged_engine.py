@@ -43,12 +43,7 @@ from llama2_tpu.runtime.batch_engine import (
 from llama2_tpu.runtime.paged_cache import OutOfPages, PagePool
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "precision", "backend", "n_ticks", "stochastic", "unroll"),
-    donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
-)
-def _tick_paged(
+def _tick_paged_impl(
     params, k_pool, v_pool, table, tokens, pos, budget,
     page_ids, row_ids,  # (n_ticks, B): precomputed write coords per tick
     temperature, top_p, use_argmax, active, base_keys,
@@ -116,12 +111,16 @@ def _tick_paged(
     return packed, budget, k_pool, v_pool, ks_pool, vs_pool
 
 
-@partial(
+_tick_paged = partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "n_windows", "d", "unroll"),
+    static_argnames=(
+        "config", "precision", "backend", "n_ticks", "stochastic", "unroll"
+    ),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
-)
-def _tick_spec_paged(
+)(_tick_paged_impl)
+
+
+def _tick_spec_paged_impl(
     params, k_pool, v_pool, table, hist, tokens, pos, budget, active,
     *, config: ModelConfig, precision, backend: str,
     n_windows: int = 1, d: int = 4, unroll: int = 1,
@@ -191,12 +190,16 @@ def _tick_spec_paged(
     return packed, k_pool, v_pool, ks_pool, vs_pool
 
 
-@partial(
+_tick_spec_paged = partial(
     jax.jit,
-    static_argnames=("bucket",),
-    donate_argnames=("k_pool", "v_pool"),
-)
-def _stage_write(
+    static_argnames=(
+        "config", "precision", "backend", "n_windows", "d", "unroll"
+    ),
+    donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
+)(_tick_spec_paged_impl)
+
+
+def _stage_write_impl(
     k_pool, v_pool, staging_k, staging_v, page_ids, row_ids, row0=0,
     *, bucket: int,
 ):
@@ -222,12 +225,14 @@ def _stage_write(
     return k_pool, v_pool
 
 
-@partial(
+_stage_write = partial(
     jax.jit,
     static_argnames=("bucket",),
-    donate_argnames=("k_pool", "ks_pool", "v_pool", "vs_pool"),
-)
-def _stage_write_q8(
+    donate_argnames=("k_pool", "v_pool"),
+)(_stage_write_impl)
+
+
+def _stage_write_q8_impl(
     k_pool, ks_pool, v_pool, vs_pool, staging_k, staging_v,
     page_ids, row_ids, row0=0, *, bucket: int,
 ):
@@ -250,8 +255,14 @@ def _stage_write_q8(
     return k_pool, ks_pool, v_pool, vs_pool
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _gather_prefix(
+_stage_write_q8 = partial(
+    jax.jit,
+    static_argnames=("bucket",),
+    donate_argnames=("k_pool", "ks_pool", "v_pool", "vs_pool"),
+)(_stage_write_q8_impl)
+
+
+def _gather_prefix_impl(
     staging_k, staging_v, k_pool, v_pool, table, *, n: int,
     ks_pool=None, vs_pool=None,
 ):
@@ -282,6 +293,9 @@ def _gather_prefix(
     return staging_k, staging_v
 
 
+_gather_prefix = partial(jax.jit, static_argnames=("n",))(_gather_prefix_impl)
+
+
 class PagedBatchEngine(BatchEngine):
     """BatchEngine with a paged KV cache (slot planes -> page tables)."""
 
@@ -299,6 +313,39 @@ class PagedBatchEngine(BatchEngine):
         prefix_cache: bool = False,
         **kw,
     ):
+        # dp-sharded pool path (parallel/dp_paged.py): on a (dp>1, tp=1)
+        # mesh the page pools shard their page axis over ``data`` with
+        # per-shard allocators — pool bytes scale 1/dp per device, ticks run
+        # the single-chip kernels (pallas included) per shard under
+        # shard_map with zero collectives. Decided BEFORE super().__init__
+        # so the base class keeps backend="pallas" instead of downgrading.
+        if n_pages is None:
+            n_pages = max(
+                batch_size, (batch_size * config.seq_len) // (2 * page_size)
+            )
+        self._dp = 0
+        mesh = kw.get("mesh")
+        if mesh is not None:
+            from llama2_tpu.parallel.dp_paged import dp_pool_supported
+            from llama2_tpu.parallel.mesh import DATA_AXIS
+
+            dp = mesh.shape.get(DATA_AXIS, 1)
+            n_try = -(-n_pages // dp) * dp  # round capacity hints up
+            ok, why = dp_pool_supported(mesh, batch_size, n_try)
+            if ok:
+                self._dp = dp
+                n_pages = n_try
+                # tp == 1 here, so the base class's shard_map eligibility
+                # check passes trivially and pallas is NOT downgraded
+                self._SHARD_MAP_TICKS = True
+            elif dp > 1:
+                import warnings
+
+                warnings.warn(
+                    f"paged pool REPLICATES over data (memory does not "
+                    f"scale with dp): {why}",
+                    stacklevel=2,
+                )
         super().__init__(config, params, batch_size=batch_size, **kw)
         if (
             self.kv_quant
@@ -311,11 +358,6 @@ class PagedBatchEngine(BatchEngine):
                 f"page_size % 128 == 0 (got {page_size})"
             )
         self.page_size = page_size
-        # default pool: half the dense layout's rows (the paging win)
-        if n_pages is None:
-            n_pages = max(
-                batch_size, (batch_size * config.seq_len) // (2 * page_size)
-            )
         self.pool = self._shard(PagePool.create(
             config, n_pages, page_size, self.dtype, lane_pad=self.lane_pad,
             kv_quant=self.kv_quant,
@@ -323,43 +365,90 @@ class PagedBatchEngine(BatchEngine):
         # page 0 is the scratch page: inactive slots' table rows are all 0,
         # so their frozen-position decode writes land there and never corrupt
         # a live request's pages (the paged analog of the dense engine's
-        # inactive-slot contract).
-        self.pool.free = [p for p in self.pool.free if p != 0]
+        # inactive-slot contract). Page ids are LOCAL under dp sharding —
+        # each shard's own page 0 is its scratch page.
+        self._init_free_lists()
         self.max_pages = -(-config.seq_len // page_size)
         self._tables = np.zeros((batch_size, self.max_pages), np.int32)
         self._slot_pages: list[list[int]] = [[] for _ in range(batch_size)]
         # pipelined-sync position projection (host _pos + dispatched windows)
         self._pos_ahead = self._pos.copy()
         # vLLM-style automatic prefix caching: full prompt-prefix pages are
-        # shared across requests (runtime/paged_cache.PrefixCache)
+        # shared across requests (runtime/paged_cache.PrefixCache). Pages
+        # are shard-local under dp, so sharing is per data shard.
         from llama2_tpu.runtime.paged_cache import PrefixCache
 
-        self.prefix = PrefixCache() if prefix_cache else None
+        self.prefix = None
+        if prefix_cache:
+            # one cache per data shard under dp (pages are shard-local);
+            # a single engine keeps the flat object (tests/metrics poke it)
+            self.prefix = (
+                [PrefixCache() for _ in range(self._dp)]
+                if self._dp else PrefixCache()
+            )
         self.metrics["prefix_hit_pages"] = 0
         # one dense staging plane for prefill (a single request's worst case)
         self._staging = self._shard_staging(
             init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
         )
+        # lazily-built shard_map programs for the dp path, keyed by statics
+        self._dp_fns: dict = {}
 
     # ---- overrides ----
 
     def _shard(self, pool):
-        """Shard the page pools over the engine's mesh (kv-heads on model;
-        the page axis replicates — see parallel.sharding.pool_specs)."""
+        """Shard the page pools over the engine's mesh: page axis over
+        ``data`` with per-shard allocators when the dp path is on
+        (parallel/dp_paged.py), else kv-heads on model with the page axis
+        replicated (parallel.sharding.pool_specs)."""
         if self.mesh is None:
             return pool
+        if self._dp:
+            from llama2_tpu.parallel.dp_paged import shard_pool_dp
+
+            return shard_pool_dp(pool, self.mesh)
         from llama2_tpu.parallel.sharding import shard_pool
 
         return shard_pool(pool, self.mesh)
+
+    def _init_free_lists(self):
+        """Host allocator state. Non-dp: one free list of global ids (page 0
+        reserved as scratch). dp: per-shard lists of LOCAL ids, each shard's
+        local page 0 reserved as its scratch page."""
+        if self._dp:
+            p_local = self.pool.n_pages // self._dp
+            self._free = [
+                list(range(p_local - 1, 0, -1)) for _ in range(self._dp)
+            ]
+            self.pool.free = []  # unused on the dp path
+        else:
+            self.pool.free = [p for p in self.pool.free if p != 0]
+
+    def _shard_of(self, slot: int) -> int:
+        """Data shard owning ``slot`` (slots shard in contiguous blocks,
+        matching P('data') on the batch dim)."""
+        return slot // (self.batch_size // self._dp) if self._dp else 0
+
+    def _prefix_of(self, slot: int):
+        if self.prefix is None:
+            return None
+        return self.prefix[self._shard_of(slot)] if self._dp else self.prefix
+
+    @property
+    def _capacity(self) -> int:
+        """Pages one request can ever hold (its shard's pool minus scratch)."""
+        n = self.pool.n_pages // self._dp if self._dp else self.pool.n_pages
+        return n - 1
 
     def _rebuild(self):
         self.pool = self._shard(PagePool.create(
             self.config, self.pool.n_pages, self.page_size, self.dtype,
             lane_pad=self.lane_pad, kv_quant=self.kv_quant,
         ))
-        self.pool.free = [p for p in self.pool.free if p != 0]
+        self._init_free_lists()
         if self.prefix is not None:
-            self.prefix.clear()
+            for pfx in (self.prefix if self._dp else [self.prefix]):
+                pfx.clear()
         self._tables[:] = 0
         self._slot_pages = [[] for _ in range(self.batch_size)]
         self._staging = self._shard_staging(
@@ -373,36 +462,54 @@ class PagedBatchEngine(BatchEngine):
 
         return shard_cache(staging, self.mesh)
 
-    def _alloc(self, n: int) -> list[int]:
-        """Allocate pages, evicting idle prefix-cache pages under pressure
-        (refcount-0 pages return to the free list LRU-first)."""
-        if (
-            self.prefix is not None
-            and len(self.pool.free) < n
-            and self.prefix.evictable
-        ):
-            self.pool.release(
-                self.prefix.evict(n - len(self.pool.free))
-            )
-        return self.pool.alloc(n)
+    def _alloc(self, n: int, slot: int) -> list[int]:
+        """Allocate pages for ``slot`` (from its shard's pool under dp),
+        evicting idle prefix-cache pages under pressure (refcount-0 pages
+        return to the free list LRU-first)."""
+        if self._dp:
+            free = self._free[self._shard_of(slot)]
+        else:
+            free = self.pool.free
+        pfx = self._prefix_of(slot)
+        if pfx is not None and len(free) < n and pfx.evictable:
+            free.extend(pfx.evict(n - len(free)))
+        if len(free) < n:
+            raise OutOfPages(f"need {n} pages, {len(free)} free")
+        return [free.pop() for _ in range(n)]
 
-    def _free_now(self) -> int:
-        """Pages obtainable right now (free list + evictable cache)."""
-        return len(self.pool.free) + (
-            self.prefix.evictable if self.prefix is not None else 0
-        )
+    def _free_now(self, slot: int) -> int:
+        """Pages obtainable right now for ``slot`` (its shard's free list +
+        evictable cache)."""
+        free = self._free[self._shard_of(slot)] if self._dp else self.pool.free
+        pfx = self._prefix_of(slot)
+        return len(free) + (pfx.evictable if pfx is not None else 0)
 
-    def _release_pages(self, pages: list[int]) -> None:
-        """Return pages to the pool; shared prefix pages stay cached."""
-        if self.prefix is None:
-            self.pool.release(pages)
+    def _release_pages(self, pages: list[int], slot: int) -> None:
+        """Return ``slot``'s pages to its shard's pool; shared prefix pages
+        stay cached."""
+        free = self._free[self._shard_of(slot)] if self._dp else self.pool.free
+        pfx = self._prefix_of(slot)
+        if pfx is None:
+            free.extend(pages)
             return
-        self.pool.release([p for p in pages if not self.prefix.release(p)])
+        free.extend(p for p in pages if not pfx.release(p))
+
+    def _dp_prog(self, key, builder):
+        """Cache of the dp path's shard_map programs (parallel/dp_paged.py),
+        keyed by their static parameters."""
+        fn = self._dp_fns.get(key)
+        if fn is None:
+            fn = self._dp_fns[key] = builder()
+        return fn
 
     def _start_request(self, slot: int, req: Request):
         # prefill writes pools/tables/mirrors outside the pipelined chain:
         # flush any in-flight windows first (see BatchEngine._drain)
         self._drain(0)
+        if self._dp:
+            from llama2_tpu.parallel import dp_paged
+        else:
+            dp_paged = None
         # preempt-and-recompute re-admission: replay the already-emitted
         # stream (teacher-forced prefill of prompt + generated) so the
         # continuation resumes at the same position — a preempted sampled
@@ -426,9 +533,10 @@ class PagedBatchEngine(BatchEngine):
         # and the first-token logits exist)
         ps = self.page_size
         hits: list[int] = []
-        if self.prefix is not None:
+        pfx = self._prefix_of(slot)
+        if pfx is not None:
             while (len(hits) + 1) * ps <= len(feed) - 1:
-                page = self.prefix.lookup(
+                page = pfx.lookup(
                     feed[: (len(hits) + 1) * ps].tobytes()
                 )
                 if page is None:
@@ -442,8 +550,8 @@ class PagedBatchEngine(BatchEngine):
         # stream's total residency, independent of hits.
         total = self.pool.pages_for(len(feed)) + 1
         need = total - len(hits)
-        if total > self.pool.n_pages - 1:  # minus the reserved scratch page
-            self._release_pages(hits)
+        if total > self._capacity:  # shard pool minus the scratch page
+            self._release_pages(hits, slot)
             if resume:
                 # the grown stream genuinely cannot fit the pool even empty:
                 # return the tokens it has rather than erroring them away
@@ -456,10 +564,10 @@ class PagedBatchEngine(BatchEngine):
                     )
                 )
             return
-        if self._free_now() < need:
+        if self._free_now(slot) < need:
             # not enough memory right now: retry ahead of newer arrivals
             # once running slots retire (capacity check rules out livelock)
-            self._release_pages(hits)
+            self._release_pages(hits, slot)
             self._requeue.append(req)
             return
 
@@ -470,11 +578,25 @@ class PagedBatchEngine(BatchEngine):
         # then starts at p0.
         staging = self._staging
         if p0:
-            sk, sv = _gather_prefix(
-                staging["k"], staging["v"], self.pool.k, self.pool.v,
-                jnp.asarray(np.asarray(hits, np.int32)), n=len(hits),
-                ks_pool=self.pool.ks, vs_pool=self.pool.vs,
-            )
+            if self._dp:
+                fn = self._dp_prog(
+                    ("gather", len(hits)),
+                    lambda: dp_paged.build_gather_prefix_dp(
+                        self.mesh, self.kv_quant, n=len(hits)
+                    ),
+                )
+                args = [staging["k"], staging["v"], self.pool.k, self.pool.v,
+                        jnp.asarray(np.asarray(hits, np.int32)),
+                        jnp.int32(self._shard_of(slot))]
+                if self.kv_quant:
+                    args += [self.pool.ks, self.pool.vs]
+                sk, sv = fn(*args)
+            else:
+                sk, sv = _gather_prefix(
+                    staging["k"], staging["v"], self.pool.k, self.pool.v,
+                    jnp.asarray(np.asarray(hits, np.int32)), n=len(hits),
+                    ks_pool=self.pool.ks, vs_pool=self.pool.vs,
+                )
             staging = {**staging, "k": sk, "v": sv}
             self.metrics["prefix_hit_pages"] += len(hits)
         pos = p0
@@ -486,15 +608,33 @@ class PagedBatchEngine(BatchEngine):
             for c in PREFILL_CHUNKS:
                 if len(remaining) >= c:
                     seg = remaining[:c]
-                    hidden, staging = forward(
-                        self.params, staging, jnp.asarray(seg[None, :]),
-                        jnp.int32(pos), self.config, self.precision,
-                        self.backend,
-                    )
-                    logits = logits_from_hidden(
-                        self.params, hidden[:, -1, :], self.precision,
-                        self.backend,
-                    )[0]
+                    if self._dp:
+                        # replicated shard_map prefill: Mosaic kernels can't
+                        # be GSPMD-partitioned, so under the dp mesh every
+                        # shard runs the identical single-chip forward
+                        fn = self._dp_prog(
+                            "prefill",
+                            lambda: dp_paged.build_prefill_dp(
+                                self.mesh, self.config,
+                                precision=self.precision,
+                                backend=self.backend,
+                            ),
+                        )
+                        logits_b, staging = fn(
+                            self.params, staging, jnp.asarray(seg[None, :]),
+                            jnp.int32(pos),
+                        )
+                        logits = logits_b[0]
+                    else:
+                        hidden, staging = forward(
+                            self.params, staging, jnp.asarray(seg[None, :]),
+                            jnp.int32(pos), self.config, self.precision,
+                            self.backend,
+                        )
+                        logits = logits_from_hidden(
+                            self.params, hidden[:, -1, :], self.precision,
+                            self.backend,
+                        )[0]
                     pos += len(seg)
                     remaining = remaining[len(seg):]
                     break
@@ -507,7 +647,7 @@ class PagedBatchEngine(BatchEngine):
 
         from llama2_tpu.runtime.paged_cache import _bucket
 
-        pages = self._alloc(self.pool.pages_for(pos) - len(hits))
+        pages = self._alloc(self.pool.pages_for(pos) - len(hits), slot)
         full = hits + pages
         table = np.asarray(full, np.int32)
         bucket = min(_bucket(pos - p0), self.config.seq_len)
@@ -519,7 +659,34 @@ class PagedBatchEngine(BatchEngine):
         page_idx = np.minimum(logical // self.page_size, len(full) - 1)
         pids = np.where(real, table[page_idx], 0).astype(np.int32)
         rids = np.where(real, logical % self.page_size, 0).astype(np.int32)
-        if self.kv_quant:
+        if self._dp:
+            # shard_map stage write: only slot's shard writes real coords,
+            # other shards route the same rows to THEIR scratch page
+            fn = self._dp_prog(
+                ("stage", bucket),
+                lambda: dp_paged.build_stage_write_dp(
+                    self.mesh, self.kv_quant, bucket=bucket
+                ),
+            )
+            shard = jnp.int32(self._shard_of(slot))
+            if self.kv_quant:
+                k_pool, ks_pool, v_pool, vs_pool = fn(
+                    self.pool.k, self.pool.ks, self.pool.v, self.pool.vs,
+                    staging["k"], staging["v"],
+                    jnp.asarray(pids), jnp.asarray(rids), jnp.int32(row0),
+                    shard,
+                )
+                self.pool = _dc.replace(
+                    self.pool, k=k_pool, ks=ks_pool, v=v_pool, vs=vs_pool
+                )
+            else:
+                k_pool, v_pool = fn(
+                    self.pool.k, self.pool.v, staging["k"], staging["v"],
+                    jnp.asarray(pids), jnp.asarray(rids), jnp.int32(row0),
+                    shard,
+                )
+                self.pool = _dc.replace(self.pool, k=k_pool, v=v_pool)
+        elif self.kv_quant:
             k_pool, ks_pool, v_pool, vs_pool = _stage_write_q8(
                 self.pool.k, self.pool.ks, self.pool.v, self.pool.vs,
                 staging["k"], staging["v"],
@@ -540,9 +707,9 @@ class PagedBatchEngine(BatchEngine):
         # register this stream's newly-FULL pages so future admissions can
         # share them (a duplicate key means an identical prompt beat us to
         # it; that page stays private and frees normally at retire)
-        if self.prefix is not None:
+        if pfx is not None:
             for j in range(len(hits), pos // ps):
-                self.prefix.register(feed[: (j + 1) * ps].tobytes(), full[j])
+                pfx.register(feed[: (j + 1) * ps].tobytes(), full[j])
 
         if resume:
             first = req.tokens[-1]  # already emitted; its KV writes next tick
@@ -555,12 +722,12 @@ class PagedBatchEngine(BatchEngine):
             req.tokens = list(prompt)
             req.steps = steps
             if first == BOS:
-                self._release_pages(full)
+                self._release_pages(full, slot)
                 self._finish(slot_req=req)
                 return
             req.tokens.append(first)  # len(prompt) < steps here (echo check)
         if len(req.tokens) >= steps:
-            self._release_pages(full)
+            self._release_pages(full, slot)
             self._finish(slot_req=req)
             return
         self.slots[slot] = req
@@ -594,7 +761,7 @@ class PagedBatchEngine(BatchEngine):
             need = last_idx + 1 - len(self._slot_pages[slot])
             if need > 0:
                 try:
-                    pgs = self._alloc(need)
+                    pgs = self._alloc(need, slot)
                 except OutOfPages:
                     if self._inflight:
                         self._drain(0)
@@ -612,7 +779,7 @@ class PagedBatchEngine(BatchEngine):
                         if need <= 0:
                             continue
                         try:
-                            pgs = self._alloc(need)
+                            pgs = self._alloc(need, slot)
                         except OutOfPages:
                             self._preempt(slot, req)
                             continue
@@ -691,16 +858,38 @@ class PagedBatchEngine(BatchEngine):
         for slot, req in enumerate(self.slots):
             if req is not None:
                 hist[slot, : len(req.tokens)] = req.tokens[:S]
-        packed, k_pool, v_pool, ks_pool, vs_pool = _tick_spec_paged(
-            self.params, self.pool.k, self.pool.v,
-            jnp.asarray(self._tables), jnp.asarray(hist),
-            jnp.asarray(self._tokens), jnp.asarray(self._pos),
-            jnp.asarray(self._host_budget()), jnp.asarray(active),
+        statics = dict(
             config=self.config, precision=self.precision,
             backend=self.backend, n_windows=self.ticks_per_sync,
             d=self.spec_window, unroll=self.layer_unroll,
-            ks_pool=self.pool.ks, vs_pool=self.pool.vs,
         )
+        if self._dp:
+            from llama2_tpu.parallel import dp_paged
+
+            fn = self._dp_prog(
+                ("spec", self.ticks_per_sync, self.spec_window),
+                lambda: dp_paged.build_spec_tick_dp(
+                    self.mesh, self.params, self.kv_quant, **statics
+                ),
+            )
+            pool_args = (
+                (self.pool.k, self.pool.ks, self.pool.v, self.pool.vs)
+                if self.kv_quant else (self.pool.k, self.pool.v)
+            )
+            packed, k_pool, v_pool, ks_pool, vs_pool = fn(
+                self.params, *pool_args,
+                jnp.asarray(self._tables), jnp.asarray(hist),
+                jnp.asarray(self._tokens), jnp.asarray(self._pos),
+                jnp.asarray(self._host_budget()), jnp.asarray(active),
+            )
+        else:
+            packed, k_pool, v_pool, ks_pool, vs_pool = _tick_spec_paged(
+                self.params, self.pool.k, self.pool.v,
+                jnp.asarray(self._tables), jnp.asarray(hist),
+                jnp.asarray(self._tokens), jnp.asarray(self._pos),
+                jnp.asarray(self._host_budget()), jnp.asarray(active),
+                ks_pool=self.pool.ks, vs_pool=self.pool.vs, **statics,
+            )
         self.pool = _dc.replace(
             self.pool, k=k_pool, v=v_pool, ks=ks_pool, vs=vs_pool
         )
@@ -727,19 +916,43 @@ class PagedBatchEngine(BatchEngine):
             budget = jnp.asarray(self._host_budget())
             chain_active = jnp.asarray(active)
 
-        packed, budget, k_pool, v_pool, ks_pool, vs_pool = _tick_paged(
-            self.params, self.pool.k, self.pool.v,
-            jnp.asarray(self._tables), tokens, pos, budget,
-            jnp.asarray(page_ids), jnp.asarray(row_ids),
-            jnp.asarray(self._temp), jnp.asarray(self._topp),
-            jnp.asarray(self._argmax), chain_active,
-            jnp.asarray(self._seed_keys),
+        stochastic = bool(np.any(~self._argmax[active])) if active.any() else False
+        statics = dict(
             config=self.config, precision=self.precision,
-            backend=self.backend, n_ticks=K,
-            stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
+            backend=self.backend, n_ticks=K, stochastic=stochastic,
             unroll=self.layer_unroll,
-            ks_pool=self.pool.ks, vs_pool=self.pool.vs,
         )
+        if self._dp:
+            from llama2_tpu.parallel import dp_paged
+
+            fn = self._dp_prog(
+                ("tick", K, stochastic),
+                lambda: dp_paged.build_tick_dp(
+                    self.mesh, self.params, self.kv_quant, **statics
+                ),
+            )
+            pool_args = (
+                (self.pool.k, self.pool.ks, self.pool.v, self.pool.vs)
+                if self.kv_quant else (self.pool.k, self.pool.v)
+            )
+            packed, budget, k_pool, v_pool, ks_pool, vs_pool = fn(
+                self.params, *pool_args,
+                jnp.asarray(self._tables), tokens, pos, budget,
+                jnp.asarray(page_ids), jnp.asarray(row_ids),
+                jnp.asarray(self._temp), jnp.asarray(self._topp),
+                jnp.asarray(self._argmax), chain_active,
+                jnp.asarray(self._seed_keys),
+            )
+        else:
+            packed, budget, k_pool, v_pool, ks_pool, vs_pool = _tick_paged(
+                self.params, self.pool.k, self.pool.v,
+                jnp.asarray(self._tables), tokens, pos, budget,
+                jnp.asarray(page_ids), jnp.asarray(row_ids),
+                jnp.asarray(self._temp), jnp.asarray(self._topp),
+                jnp.asarray(self._argmax), chain_active,
+                jnp.asarray(self._seed_keys),
+                ks_pool=self.pool.ks, vs_pool=self.pool.vs, **statics,
+            )
         self.pool.k, self.pool.v = k_pool, v_pool
         self.pool.ks, self.pool.vs = ks_pool, vs_pool
         self._chain = (packed[-3], packed[-2], budget, packed[-1].astype(bool))
@@ -752,6 +965,6 @@ class PagedBatchEngine(BatchEngine):
         self._release_slot(slot)
 
     def _release_slot(self, slot: int):
-        self._release_pages(self._slot_pages[slot])
+        self._release_pages(self._slot_pages[slot], slot)
         self._slot_pages[slot] = []
         self._tables[slot, :] = 0
