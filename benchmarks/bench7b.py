@@ -122,12 +122,20 @@ def main(argv=None) -> int:
         )
         # engine leaves are jnp arrays: later sweep entries reuse them as-is
         device_params = eng.params
+        # cold-start overlap: the h2d upload above was dispatched async;
+        # AOT-compile the serving programs NOW so the remote Mosaic compile
+        # runs concurrently with the multi-GB transfer instead of
+        # serializing behind it in the warmup wave
+        t_pc = time.perf_counter()
+        eng.precompile(prompt_lens=[args.prompt_len], stochastic=(False,))
+        pc_s = time.perf_counter() - t_pc
         # force the upload + a scalar fetch so load time is measured honestly
         np.asarray(eng.params["rms_final"][:1])
         load_s = time.perf_counter() - t0
-        print(f"[bench7b] load+upload {load_s:.1f}s (batch {batch})",
-              file=sys.stderr)
+        print(f"[bench7b] load+upload(+compile overlap) {load_s:.1f}s "
+              f"(precompile {pc_s:.1f}s, batch {batch})", file=sys.stderr)
         out = _measure(eng, config, wbytes, batch, load_s, args)
+        out["precompile_s"] = round(pc_s, 1)
         print(json.dumps(out))
         if batch == args.batch or primary is None:
             primary = out
@@ -168,8 +176,8 @@ def _measure(eng, config, wbytes, batch, load_s, args) -> dict:
     eng.metrics["requests"] = 0
     eng.metrics["tokens"] = 0
     eng.metrics["ttft"] = []
-    print(f"[bench7b] warmup done in {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    warmup_s = time.perf_counter() - t0
+    print(f"[bench7b] warmup done in {warmup_s:.1f}s", file=sys.stderr)
 
     # ---- phase 1: serving wave (steady-state: everything compiled) ----
     n_req = 2 * batch
@@ -226,6 +234,7 @@ def _measure(eng, config, wbytes, batch, load_s, args) -> dict:
         "requests": n_req,
         "steps_per_request": args.steps,
         "load_upload_s": round(load_s, 1),
+        "warmup_s": round(warmup_s, 1),
     }
     return out
 

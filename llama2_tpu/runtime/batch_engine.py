@@ -523,7 +523,86 @@ class BatchEngine:
         self.pipeline_depth = max(1, pipeline_depth)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # AOT-compiled executables from precompile(), keyed by program +
+        # static variant; dispatch paths prefer these over the jit cache
+        self._aot: dict = {}
         self.metrics = {"requests": 0, "tokens": 0, "ttft": [], "preempted": 0}
+
+    def precompile(self, prompt_lens=(), stochastic=(False,), spec=False):
+        """AOT-compile the engine's device programs from shapes only and
+        store the executables; the dispatch paths then call them directly.
+
+        Why this exists: the h2d weight upload is dispatched asynchronously,
+        but the first request wave serializes tracing + (remote) XLA/Mosaic
+        compilation BEHIND the multi-GB transfer. Compilation needs shapes,
+        not values, so calling this right after construction runs the
+        minutes-scale big-model compiles concurrently with the upload
+        (cold-start engineering; the reference's analogous contract is
+        "read checkpoint, go", main.zig:955-967). The jit cache itself
+        cannot be pre-warmed: ``lower().compile()`` does not populate the
+        dispatch cache (measured on this JAX), hence stored executables.
+
+        ``prompt_lens``: prompt lengths whose PREFILL_CHUNKS decomposition
+        to compile. ``stochastic``: which plain-tick sampler variants to
+        build. ``spec=True`` also builds the speculative window program.
+        """
+        if self.mesh is not None:
+            import warnings
+
+            warnings.warn(
+                "precompile: mesh engines keep the jit-cache path (AOT "
+                "executables bake input shardings)", stacklevel=2,
+            )
+            return
+        if self.cache is None:
+            raise NotImplementedError(
+                "precompile covers the dense engine; the paged ticks have "
+                "their own programs"
+            )
+        B = self.batch_size
+
+        def sds(*shape, dtype=jnp.int32):
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+        tree_sds = lambda t: jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, jnp.dtype(a.dtype)), t
+        )
+        p_s, c_s = tree_sds(self.params), tree_sds(self.cache)
+        keys_s = sds(B, 2, dtype=jnp.uint32)
+        b_s = sds(B, dtype=jnp.bool_)
+        statics = dict(
+            config=self.config, precision=self.precision,
+            backend=self.backend, mesh=self.fwd_mesh,
+            collective=self.collective,
+        )
+        for st in stochastic:
+            self._aot[("tick", bool(st))] = _tick.lower(
+                p_s, c_s, sds(B), sds(B), sds(B),
+                sds(B, dtype=jnp.float32), sds(B, dtype=jnp.float32),
+                b_s, b_s, keys_s,
+                n_ticks=self.ticks_per_sync, stochastic=bool(st),
+                unroll=self.layer_unroll, **statics,
+            ).compile()
+        if spec and self.spec_window:
+            self._aot[("spec",)] = _tick_spec.lower(
+                p_s, c_s, sds(B, self.config.seq_len), sds(B), sds(B),
+                sds(B), b_s,
+                n_windows=self.ticks_per_sync, d=self.spec_window,
+                unroll=self.layer_unroll, **statics,
+            ).compile()
+        chunks: set[int] = set()
+        for plen in prompt_lens:
+            rem = plen + 1  # BOS + prompt, the _start_request feed
+            while rem:
+                for c in PREFILL_CHUNKS:
+                    if rem >= c:
+                        chunks.add(c)
+                        rem -= c
+                        break
+        for c in sorted(chunks):
+            self._aot[("prefill", c)] = _write_prefill.lower(
+                p_s, c_s, sds(1, c), sds(), sds(), **statics
+            ).compile()
 
     def _make_cache(self):
         cache = init_cache(
@@ -706,18 +785,25 @@ class BatchEngine:
             for c in PREFILL_CHUNKS:
                 if len(remaining) >= c:
                     seg = remaining[:c]
-                    logits, self.cache = _write_prefill(
+                    pf_args = (
                         self.params,
                         self.cache,
                         jnp.asarray(seg[None, :]),
                         jnp.int32(pos),
                         jnp.int32(slot),
-                        config=self.config,
-                        precision=self.precision,
-                        backend=self.backend,
-                        mesh=self.fwd_mesh,
-                        collective=self.collective,
                     )
+                    aot = self._aot.get(("prefill", c))
+                    if aot is not None:
+                        logits, self.cache = aot(*pf_args)
+                    else:
+                        logits, self.cache = _write_prefill(
+                            *pf_args,
+                            config=self.config,
+                            precision=self.precision,
+                            backend=self.backend,
+                            mesh=self.fwd_mesh,
+                            collective=self.collective,
+                        )
                     pos += len(seg)
                     remaining = remaining[len(seg):]
                     break
@@ -785,7 +871,7 @@ class BatchEngine:
             for slot, req in enumerate(self.slots):
                 if req is not None:
                     hist[slot, : len(req.tokens)] = req.tokens[:S]
-            packed, self.cache = _tick_spec(
+            spec_args = (
                 self.params,
                 self.cache,
                 jnp.asarray(hist),
@@ -793,15 +879,22 @@ class BatchEngine:
                 jnp.asarray(self._pos),
                 jnp.asarray(budget),
                 jnp.asarray(active),
-                config=self.config,
-                precision=self.precision,
-                backend=self.backend,
-                n_windows=self.ticks_per_sync,
-                d=self.spec_window,
-                unroll=self.layer_unroll,
-                mesh=self.fwd_mesh,
-                collective=self.collective,
             )
+            aot = self._aot.get(("spec",))
+            if aot is not None:
+                packed, self.cache = aot(*spec_args)
+            else:
+                packed, self.cache = _tick_spec(
+                    *spec_args,
+                    config=self.config,
+                    precision=self.precision,
+                    backend=self.backend,
+                    n_windows=self.ticks_per_sync,
+                    d=self.spec_window,
+                    unroll=self.layer_unroll,
+                    mesh=self.fwd_mesh,
+                    collective=self.collective,
+                )
             self._replay(np.asarray(packed))
             return
         self._dispatch_tick(active)
@@ -853,7 +946,8 @@ class BatchEngine:
             pos = jnp.asarray(self._pos)
             budget = jnp.asarray(self._host_budget())
             chain_active = jnp.asarray(active)
-        packed, budget, self.cache = _tick(
+        stochastic = bool(np.any(~self._argmax[active])) if active.any() else False
+        tick_args = (
             self.params,
             self.cache,
             tokens,
@@ -864,15 +958,22 @@ class BatchEngine:
             jnp.asarray(self._argmax),
             chain_active,
             jnp.asarray(self._seed_keys),
-            config=self.config,
-            precision=self.precision,
-            backend=self.backend,
-            n_ticks=self.ticks_per_sync,
-            stochastic=bool(np.any(~self._argmax[active])) if active.any() else False,
-            unroll=self.layer_unroll,
-            mesh=self.fwd_mesh,
-            collective=self.collective,
         )
+        aot = self._aot.get(("tick", stochastic))
+        if aot is not None:
+            packed, budget, self.cache = aot(*tick_args)
+        else:
+            packed, budget, self.cache = _tick(
+                *tick_args,
+                config=self.config,
+                precision=self.precision,
+                backend=self.backend,
+                n_ticks=self.ticks_per_sync,
+                stochastic=stochastic,
+                unroll=self.layer_unroll,
+                mesh=self.fwd_mesh,
+                collective=self.collective,
+            )
         self._chain = (packed[-3], packed[-2], budget, packed[-1].astype(bool))
         self._inflight.append(packed)
 

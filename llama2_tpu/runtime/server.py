@@ -17,6 +17,7 @@ Run:  python -m llama2_tpu.runtime.server <checkpoint.bin> \
           [--ticks-per-sync K] [--pipeline-depth P] [--kv-cache f32|int8]
           [--spec N]
           [--kernels xla|pallas] [--mesh DPxTP] [--collective-matmul]
+          [--precompile L1,L2,...]
 
 ``--paged`` switches the KV cache to the paged layout
 (runtime/paged_engine.py): memory scales with tokens in flight instead of
@@ -28,6 +29,10 @@ a (data, model) device mesh: params tensor-shard over ``model``, slots over
 pallas`` the tick runs the fused kernels per-shard inside shard_map —
 parallel/tp.py). ``--collective-matmul`` swaps the row-parallel wo/w2
 psums for the explicit overlapped ring (parallel/collective_matmul.py).
+``--precompile 16,128`` AOT-compiles the decode tick and the prefill-chunk
+programs for those prompt lengths at startup, overlapping the (remote,
+minutes-scale at 7B) compiles with the asynchronous weight upload instead
+of paying them on the first request (dense single-device engine).
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ from __future__ import annotations
 import json
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from llama2_tpu.config import GenerationConfig
@@ -176,6 +182,7 @@ def main(argv=None):
     kernels = "xla"
     mesh_spec = None
     collective = None
+    precompile = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -235,6 +242,12 @@ def main(argv=None):
             # explicit overlapped ring for the row-parallel wo/w2 reduces
             # (parallel/collective_matmul.py); requires --mesh
             collective = "ring"
+        elif a == "--precompile":
+            # AOT-compile decode + prefill-chunk programs for the given
+            # prompt lengths at startup, overlapping the (remote) compiles
+            # with the async weight upload (dense single-device engine only)
+            i += 1
+            precompile = [int(v) for v in argv[i].split(",") if v]
         elif a == "--page-size":
             i += 1
             page_size = int(argv[i])
@@ -253,6 +266,10 @@ def main(argv=None):
 
     if prefix_cache and not paged:
         print("--prefix-cache requires --paged", file=sys.stderr)
+        return 1
+    if precompile is not None and (paged or mesh_spec is not None):
+        print("--precompile covers the dense single-device engine",
+              file=sys.stderr)
         return 1
     if collective and (mesh_spec is None or paged):
         print(
@@ -325,6 +342,17 @@ def main(argv=None):
             mesh=mesh,
             collective=collective,
         )
+        if precompile is not None:
+            t0 = time.perf_counter()
+            engine.precompile(
+                prompt_lens=precompile, stochastic=(False, True),
+                spec=spec > 0,
+            )
+            print(
+                f"precompiled {len(engine._aot)} programs in "
+                f"{time.perf_counter() - t0:.1f}s (overlapped with upload)",
+                file=sys.stderr,
+            )
     serve(engine, tokenizer, host, port)
     return 0
 

@@ -329,3 +329,60 @@ def test_host_prngkey_matches_jax():
         np.testing.assert_array_equal(
             _host_prngkey(seed), np.asarray(jax.random.PRNGKey(seed)), seed
         )
+
+
+def test_precompile_streams_identical_and_aot_used(engine_and_ref, monkeypatch):
+    """precompile() builds AOT executables that the dispatch paths use in
+    place of the jit cache (cold-start overlap: compile while the weight
+    upload streams), with token-identical results. The jitted module
+    functions must NOT be re-entered once their executables exist."""
+    import llama2_tpu.runtime.batch_engine as be
+
+    config, params, ref = engine_and_ref
+    prompts = [[5, 17], [], [320, 9, 44], [7]]
+    gen = GenerationConfig(temperature=0.0, steps=18)
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = BatchEngine(config, params, batch_size=2, ticks_per_sync=4)
+    eng.precompile(prompt_lens=[len(p) for p in prompts], stochastic=(False,))
+    assert ("tick", False) in eng._aot
+    assert any(k[0] == "prefill" for k in eng._aot)
+
+    def boom(*a, **k):  # any fallback to the jit path is a test failure
+        raise AssertionError("jit path entered despite precompile")
+
+    monkeypatch.setattr(be._tick, "__call__", boom, raising=False)
+    calls = {"tick": 0, "prefill": 0}
+    real_tick, real_prefill = be._tick, be._write_prefill
+    monkeypatch.setattr(
+        be, "_tick", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("_tick jit path entered despite precompile"))
+    )
+    monkeypatch.setattr(
+        be, "_write_prefill", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("_write_prefill jit path entered despite precompile"))
+    )
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    results = [q.get(timeout=120) for q in queues]
+    for p, want, got in zip(prompts, expected, results):
+        assert got.tokens == want, f"prompt {p}: {got.tokens} != {want}"
+
+
+def test_precompile_spec_variant(engine_and_ref):
+    """The speculative window program is AOT-buildable and token-identical."""
+    config, params, ref = engine_and_ref
+    prompts = [[5, 17], [320, 9, 44]]
+    gen = GenerationConfig(temperature=0.0, steps=16)
+    expected = [ref.generate(p, gen).tokens for p in prompts]
+
+    eng = BatchEngine(
+        config, params, batch_size=2, ticks_per_sync=2, spec_window=4
+    )
+    eng.precompile(prompt_lens=[len(p) for p in prompts], spec=True)
+    assert ("spec",) in eng._aot
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    for p, want, q in zip(prompts, expected, queues):
+        got = q.get(timeout=120)
+        assert got.tokens == want, f"prompt {p}: {got.tokens} != {want}"

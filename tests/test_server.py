@@ -167,3 +167,11 @@ def test_mesh_flag_errors(tiny_checkpoint, capsys):
     assert "--mesh" in capsys.readouterr().err
     assert srv.main([path, "--kernels", "cuda"]) == 1
     assert "--kernels" in capsys.readouterr().err
+
+
+def test_precompile_flag_errors(tiny_checkpoint):
+    import llama2_tpu.runtime.server as srv
+
+    path, _, _ = tiny_checkpoint
+    assert srv.main([path, "--precompile", "16", "--paged"]) == 1
+    assert srv.main([path, "--precompile", "16", "--mesh", "2x4"]) == 1
