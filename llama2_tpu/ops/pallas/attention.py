@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llama2_tpu.ops.pallas.common import interpret_default, kv_scratch_rows
+from llama2_tpu.ops.pallas.common import decode_block_rows, interpret_default
 
 NEG_INF = float("-inf")
 
@@ -374,10 +374,7 @@ def flash_decode_attention_stacked(
     KVH = k_cache.shape[2]
     # all KV heads ride one scratch buffer: clamp rows to the scoped-vmem
     # budget (7B shapes KVH=32/hs=128/f32 OOM the Mosaic stack at 512 rows)
-    bs = min(block_s, max(256, S // 4), S,
-             kv_scratch_rows(KVH, hs, k_cache.dtype.itemsize))
-    while S % bs != 0:
-        bs //= 2
+    bs = decode_block_rows(S, KVH, hs, k_cache.dtype.itemsize, block_s)
     pos_vec = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],)
     )
@@ -553,10 +550,7 @@ def flash_decode_attention_fused(
         scale = 1.0 / (hs**0.5)
     S = k_cache.shape[3]
     KVH = k_cache.shape[2]
-    bs = min(block_s, max(256, S // 4), S,
-             kv_scratch_rows(KVH, hs, k_cache.dtype.itemsize))
-    while S % bs != 0:
-        bs //= 2
+    bs = decode_block_rows(S, KVH, hs, k_cache.dtype.itemsize, block_s)
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
     return _flash_decode_fused(

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llama2_tpu.ops.pallas.common import interpret_default, kv_scratch_rows
+from llama2_tpu.ops.pallas.common import decode_block_rows_q8, interpret_default
 
 NEG_INF = float("-inf")
 
@@ -565,18 +565,7 @@ def flash_decode_attention_q8_stacked(
         # the RMW scale window is a whole 128-lane tile; functional-mode
         # fixtures with odd S take the model's XLA fallback instead
         raise ValueError(f"q8 stacked decode requires seq_len % 128 == 0 (got {S})")
-    lane = 128
-    cap = min(block_s, max(256, S // 8), S,
-              kv_scratch_rows(k8.shape[2], hs, 1))
-    bs = lane
-    k = 1
-    while True:
-        cand = lane * k
-        if cand > cap:
-            break
-        if S % cand == 0:
-            bs = cand
-        k += 1
+    bs = decode_block_rows_q8(S, k8.shape[2], hs, block_s)
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (q.shape[0],))
     layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
     k_new4 = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
@@ -765,18 +754,7 @@ def flash_decode_attention_q8_fused(
         raise ValueError(f"fused q8 decode requires seq_len % 128 == 0 (got {S})")
     if scale is None:
         scale = 1.0 / (hs**0.5)
-    lane = 128
-    cap = min(block_s, max(256, S // 8), S,
-              kv_scratch_rows(k8.shape[2], hs, 1))
-    bs = lane
-    k = 1
-    while True:
-        cand = lane * k
-        if cand > cap:
-            break
-        if S % cand == 0:
-            bs = cand
-        k += 1
+    bs = decode_block_rows_q8(S, k8.shape[2], hs, block_s)
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
     return _flash_decode_q8_fused(

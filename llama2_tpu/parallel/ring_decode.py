@@ -106,22 +106,30 @@ def _append_local(cache, rows, pos, *, my_off, s_local):
     row select keeps the write branch-free; cf. models/llama.py:133-159)."""
     T = rows.shape[2]
     first = pos - (T - 1) - my_off  # local row of the window's first token
-    idx = jnp.clip(first, 0, s_local - T)
-    cur = jax.lax.dynamic_slice(
-        cache, (0, 0, idx, 0), (cache.shape[0], cache.shape[1], T, cache.shape[3])
-    )
     if T == 1:
+        idx = jnp.clip(first, 0, s_local - 1)
+        cur = jax.lax.dynamic_slice(
+            cache, (0, 0, idx, 0),
+            (cache.shape[0], cache.shape[1], 1, cache.shape[3]),
+        )
         own = (first >= 0) & (first < s_local)
         new = jnp.where(own, rows, cur)
-    else:
-        # window rows may straddle a shard boundary: mask per row
-        r = jnp.arange(T)
-        own = ((first + r >= 0) & (first + r < s_local))[None, None, :, None]
-        # rows whose clamped slice position differs from their true local row
-        # (straddle) must not overwrite: require idx == first for ownership
-        own = own & (first >= 0) & (first <= s_local - T)
-        new = jnp.where(own, rows, cur)
-    return jax.lax.dynamic_update_slice(cache, new, (0, 0, idx, 0))
+        return jax.lax.dynamic_update_slice(cache, new, (0, 0, idx, 0))
+    # T > 1 (verify windows): write per ROW, each with its own clamp and
+    # ownership test, so a window straddling a seq-shard boundary leaves
+    # exactly its owned rows on each neighbor (a single clamped window
+    # write would disown straddling rows on BOTH shards)
+    for t in range(T):
+        r_local = first + t
+        idx = jnp.clip(r_local, 0, s_local - 1)
+        cur = jax.lax.dynamic_slice(
+            cache, (0, 0, idx, 0),
+            (cache.shape[0], cache.shape[1], 1, cache.shape[3]),
+        )
+        own = (r_local >= 0) & (r_local < s_local)
+        new = jnp.where(own, rows[:, :, t : t + 1], cur)
+        cache = jax.lax.dynamic_update_slice(cache, new, (0, 0, idx, 0))
+    return cache
 
 
 def _layer_seq(
@@ -293,6 +301,13 @@ class SeqShardedDecoder:
 
         c = self.config
         n_steps = min(n_steps, c.seq_len)
+        if len(prompt_tokens) + 1 > c.seq_len:
+            # match the engines' admission-time capacity errors instead of a
+            # numpy broadcast crash at the buffer fill below
+            raise ValueError(
+                f"prompt of {len(prompt_tokens)} tokens (+ BOS) exceeds "
+                f"seq_len={c.seq_len}"
+            )
         prompt = [BOS] + list(prompt_tokens)
         buf = np.zeros((c.seq_len, 1), np.int32)
         buf[: len(prompt), 0] = prompt

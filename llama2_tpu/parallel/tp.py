@@ -46,7 +46,20 @@ def _batch_axis(n: int, mesh) -> str | None:
     """'data' when the batch divides the data axis, else replicate (e.g. the
     B=1 prefill plane — every data shard computes it identically)."""
     dp = mesh.shape[DATA_AXIS]
-    return DATA_AXIS if dp > 1 and n % dp == 0 else None
+    if dp > 1 and n % dp == 0:
+        return DATA_AXIS
+    if dp > 1 and n > 1:
+        # loud fallback: a ragged batch silently replicating over data means
+        # every shard does the FULL batch's work (the engines always pass
+        # divisible batches; this warns if a future caller doesn't)
+        import warnings
+
+        warnings.warn(
+            f"batch {n} does not divide dp={dp}: replicating the batch over "
+            "the data axis (every shard computes all rows)",
+            stacklevel=3,
+        )
+    return None
 
 
 def local_config(config, tp: int):
@@ -203,6 +216,18 @@ def logits_sharded(hidden: jax.Array, wcls: QuantTensor, mesh, backend: str):
 
     tp = mesh.shape[MODEL_AXIS]
     split = tp > 1 and wcls.q.shape[-1] % tp == 0 and wcls.scale.shape[-1] % tp == 0
+    if tp > 1 and not split:
+        # loud fallback: every shard computes the FULL vocab matvec. Llama
+        # vocabs (32000/32016) split by 2/4/8, so this is latent — pad the
+        # vocab if a tp=6/12 deployment ever hits it.
+        import warnings
+
+        warnings.warn(
+            f"vocab {wcls.q.shape[-1]} (scale groups {wcls.scale.shape[-1]}) "
+            f"not divisible by tp={tp}: classifier head replicates (each "
+            "shard computes the full vocab row)",
+            stacklevel=2,
+        )
     wspec = P(None, MODEL_AXIS) if split else P(None, None)
     bspec = _batch_axis(hidden.shape[0], mesh)
     hspec = P(bspec, *([None] * (hidden.ndim - 1)))

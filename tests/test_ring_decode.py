@@ -71,3 +71,53 @@ def test_indivisible_seq_len_rejected():
     params = random_params(config)
     with pytest.raises(ValueError, match="not divisible"):
         SeqShardedDecoder(config, params, make_seq_mesh(5))
+
+
+def test_append_local_straddle_window():
+    """A T>1 verify window straddling a seq-shard boundary must leave each
+    shard exactly the rows it owns (per-row writes; ADVICE r3: the clamped
+    whole-window write disowned straddling rows on BOTH neighbors)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from llama2_tpu.parallel.ring_decode import _append_local
+    from llama2_tpu.parallel.sp import SEQ_AXIS
+
+    sp, S, T = 2, 16, 3
+    s_local = S // sp
+    mesh = make_seq_mesh(sp)
+    cache = jnp.zeros((1, 1, S, 4), jnp.float32)
+    # rows tagged 1..T so landing positions are observable
+    rows = jnp.broadcast_to(
+        jnp.arange(1.0, T + 1)[None, None, :, None], (1, 1, T, 4)
+    )
+
+    def region(c, r):
+        my_off = jax.lax.axis_index(SEQ_AXIS) * s_local
+        return _append_local(
+            c, r, jnp.int32(8), my_off=my_off, s_local=s_local
+        )  # global rows 6, 7, 8 — straddles the 8-row boundary
+
+    out = jax.jit(
+        jax.shard_map(
+            region, mesh=mesh,
+            in_specs=(P(None, None, SEQ_AXIS, None), P(None, None, None, None)),
+            out_specs=P(None, None, SEQ_AXIS, None),
+            check_vma=False,
+        )
+    )(cache, rows)
+    got = np.asarray(out)[0, 0, :, 0]
+    want = np.zeros(S, np.float32)
+    want[6], want[7], want[8] = 1.0, 2.0, 3.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_overlong_prompt_rejected():
+    """ADVICE r3: a prompt that cannot fit seq_len (with its BOS) must raise
+    a descriptive error, not crash in the buffer fill."""
+    config = tiny_config()
+    params = random_params(config)
+    dec = SeqShardedDecoder(config, params, make_seq_mesh(2))
+    with pytest.raises(ValueError, match="exceeds"):
+        dec.generate(list(range(3, 3 + config.seq_len)), 4)

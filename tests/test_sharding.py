@@ -82,3 +82,34 @@ def test_uneven_tp_shard(model):
         sc = shard_cache(init_cache(config, 1), mesh)
         logits, _ = _run(config, sp, sc, tokens, 0)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5)
+
+
+def test_batch_axis_ragged_warns():
+    """A batch that does not divide dp must warn (loud-fallback discipline):
+    silent replication means every data shard computes the whole batch."""
+    from llama2_tpu.parallel.tp import _batch_axis
+
+    mesh = make_mesh(2, 1)
+    with pytest.warns(UserWarning, match="does not divide dp"):
+        assert _batch_axis(3, mesh) is None
+    assert _batch_axis(4, mesh) == "data"
+    assert _batch_axis(1, mesh) is None  # B=1 prefill plane: silent by design
+
+
+def test_logits_sharded_indivisible_vocab_warns():
+    """A vocab that does not split over tp falls back to a replicated
+    classifier — loudly (each shard then does the full vocab matvec)."""
+    from llama2_tpu.parallel.tp import logits_sharded
+    from llama2_tpu.quant.q8 import quantize
+
+    mesh = make_mesh(1, 3)  # vocab 256 % 3 != 0
+    wcls = quantize(
+        np.random.default_rng(0).standard_normal((64, 256), np.float32) * 0.1,
+        group_size=64,
+    )
+    hidden = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 64), np.float32)
+    )
+    with pytest.warns(UserWarning, match="not divisible by tp"):
+        out = logits_sharded(hidden, wcls, mesh, "pallas")
+    assert out.shape == (2, 256)
