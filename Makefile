@@ -13,7 +13,7 @@ CPU_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 # (state accumulated over ~350 earlier compiles on the 8-virtual-device
 # client tips it over; both files pass in isolation). Splitting keeps the
 # gate deterministic — each invocation starts from a fresh backend.
-TESTS_ISOLATED = tests/test_tp_pallas.py tests/test_dp_paged.py
+TESTS_ISOLATED = tests/test_tp_pallas.py tests/test_dp_paged.py tests/test_tp_paged.py
 
 test:            ## run the full CPU test suite (ci.yml:12 analog)
 	$(PY) -m pytest tests/ -q $(foreach f,$(TESTS_ISOLATED),--ignore=$(f))

@@ -7,6 +7,13 @@ decode throughput, per-request latency and TTFT percentiles.
 
     python benchmarks/serving.py [--paged] [--batch-size 8] [--requests 32]
                                  [--steps 48] [--platform cpu]
+
+``--compare`` measures the dense AND paged engines in one process under the
+same load: the weight tree uploads ONCE and both engines reuse the device
+arrays (on a tunneled TPU a 7 GB re-upload dwarfs the measurement), printing
+both lines plus the paged/dense aggregate ratio (VERDICT r3 next-round 3).
+``--cache-dir`` mmaps a prebuilt make_random_q8 cache instead of regenerating
+random weights in-process (minutes at 7B scale).
 """
 
 from __future__ import annotations
@@ -35,6 +42,12 @@ def main() -> None:
     ap.add_argument("--kernels", default="xla", choices=("xla", "pallas"))
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--compare", action="store_true",
+                    help="measure dense AND paged in one process (one weight "
+                    "upload, shared device tree); prints both + the ratio")
+    ap.add_argument("--cache-dir", default=None,
+                    help="load a prebuilt make_random_q8 cache dir (mmap) "
+                    "instead of regenerating random weights in-process")
     ap.add_argument(
         "--model", default="flagship",
         help="flagship (stories15M-shaped fp32) or a make_random_q8 preset "
@@ -56,17 +69,44 @@ def main() -> None:
         config, params = _flagship()
     else:
         from benchmarks.bench7b import fuse_host
-        from llama2_tpu.config import ModelConfig
-        from llama2_tpu.tools.make_random_q8 import SHAPES, random_q8_params
 
-        config = ModelConfig(**SHAPES[args.model])
-        params = fuse_host(random_q8_params(config, seed=args.seed))
+        if args.cache_dir:
+            from llama2_tpu.io.cache import load_cache
+
+            config, params, _ = load_cache(args.cache_dir)  # mmap
+        else:
+            from llama2_tpu.config import ModelConfig
+            from llama2_tpu.tools.make_random_q8 import (
+                SHAPES,
+                random_q8_params,
+            )
+
+            config = ModelConfig(**SHAPES[args.model])
+            params = random_q8_params(config, seed=args.seed)
+        params = fuse_host(params)
     rng = np.random.default_rng(args.seed)
 
-    if args.paged:
+    if args.compare:
+        results = {}
+        device_params = params
+        for kind in ("dense", "paged"):
+            eng = _build(kind == "paged", config, device_params, args)
+            device_params = eng.params  # upload once; paged reuses the tree
+            results[kind] = _measure(eng, config, args, rng)
+            del eng
+        ratio = results["paged"]["tok_s"] / results["dense"]["tok_s"]
+        print(f"paged/dense aggregate: {ratio:.3f}")
+        return
+
+    eng = _build(args.paged, config, params, args)
+    _measure(eng, config, args, rng)
+
+
+def _build(paged: bool, config, params, args):
+    if paged:
         from llama2_tpu.runtime.paged_engine import PagedBatchEngine
 
-        eng = PagedBatchEngine(
+        return PagedBatchEngine(
             config, params, batch_size=args.batch_size,
             page_size=min(args.page_size, config.seq_len),
             ticks_per_sync=args.ticks_per_sync,
@@ -74,17 +114,22 @@ def main() -> None:
             backend=args.kernels,
             kv_quant=args.kv_cache == "int8",
         )
-    else:
-        from llama2_tpu.runtime.batch_engine import BatchEngine
+    from llama2_tpu.runtime.batch_engine import BatchEngine
 
-        eng = BatchEngine(
-            config, params, batch_size=args.batch_size,
-            ticks_per_sync=args.ticks_per_sync,
-            pipeline_depth=args.pipeline_depth,
-            spec_window=args.spec,
-            backend=args.kernels,
-            kv_quant=args.kv_cache == "int8",
-        )
+    return BatchEngine(
+        config, params, batch_size=args.batch_size,
+        ticks_per_sync=args.ticks_per_sync,
+        pipeline_depth=args.pipeline_depth,
+        spec_window=args.spec,
+        backend=args.kernels,
+        kv_quant=args.kv_cache == "int8",
+    )
+
+
+def _measure(eng, config, args, rng) -> dict:
+    from llama2_tpu.config import GenerationConfig
+
+    paged = type(eng).__name__.startswith("Paged")
 
     # mixed-length prompts (tokens drawn uniformly; BOS excluded); prompt
     # must be shorter than steps or the request degenerates to a pure echo
@@ -107,30 +152,36 @@ def main() -> None:
             warm_prompt, GenerationConfig(temperature=0.0, steps=wl + 4, seed=0)
         )
         eng.run_until_idle()
-        wq.get(timeout=600)
+        wq.get(timeout=1200)
 
     t0 = time.perf_counter()
     queues = [eng.submit(p, gen) for p in prompts]
     eng.run_until_idle()
-    results = [q.get(timeout=600) for q in queues]
+    results = [q.get(timeout=1200) for q in queues]
     wall = time.perf_counter() - t0
 
     total_tokens = sum(len(r.tokens) for r in results)
     lat = sorted(r.total_s for r in results)
     ttft = eng.ttft_percentiles()
-    mode = ("paged" if args.paged else "dense") + f",K={args.ticks_per_sync},{args.kernels}"
+    mode = ("paged" if paged else "dense") + f",K={args.ticks_per_sync},{args.kernels}"
     if args.kv_cache != "f32":
         mode += f",kv={args.kv_cache}"
     if args.spec:
         mode += f",spec={args.spec}"
+    tok_s = total_tokens / wall
     print(
         f"serving[{mode}] batch={args.batch_size} requests={args.requests}: "
-        f"{total_tokens / wall:8.1f} tok/s aggregate | "
+        f"{tok_s:8.1f} tok/s aggregate | "
         f"req p50 {lat[len(lat) // 2] * 1e3:7.1f} ms "
         f"p95 {lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3:7.1f} ms | "
         f"TTFT p50 {(ttft['p50'] or 0) * 1e3:6.1f} ms "
         f"p95 {(ttft['p95'] or 0) * 1e3:6.1f} ms"
     )
+    return {
+        "tok_s": tok_s,
+        "ttft_p50": ttft["p50"],
+        "ttft_p95": ttft["p95"],
+    }
 
 
 if __name__ == "__main__":

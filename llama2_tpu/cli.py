@@ -37,6 +37,9 @@ TPU options:
  --spec <int>              greedy speculative decoding window (exact; 0 = off)
  --save-cache <dir>        write the loaded params to a fast-load cache dir
  --warmup                  run a warmup generate so tokens/s excludes compile
+ --seq-shards <int>        shard the KV cache's sequence axis over N devices
+                           (distributed flash-decode; long-context contexts
+                           beyond one chip's HBM; fp/XLA path)
 """
 
 
@@ -70,6 +73,7 @@ def parse_args(argv: list[str]) -> dict | None:
         "kernels": "xla",
         "save_cache": None,
         "warmup": False,
+        "seq_shards": 0,
     }
 
     def take_value(i: int, name: str) -> tuple[str, int]:
@@ -159,6 +163,14 @@ def parse_args(argv: list[str]) -> dict | None:
             opts["kernels"] = val
         elif arg == "--save-cache":
             opts["save_cache"], i = take_value(i, "save-cache")
+        elif arg == "--seq-shards":
+            val, i = take_value(i, "seq-shards")
+            try:
+                opts["seq_shards"] = int(val)
+            except ValueError:
+                _die(f"unable to parse --seq-shards argument '{val}'")
+            if opts["seq_shards"] < 0:
+                _die("--seq-shards must be >= 0")
         elif arg == "--warmup":
             opts["warmup"] = True
         else:
@@ -224,6 +236,13 @@ def main(argv: list[str] | None = None) -> int:
     precision = (
         jax.lax.Precision.HIGHEST if opts["dtype"] == "f32" else jax.lax.Precision.DEFAULT
     )
+
+    if opts["seq_shards"] >= 2:
+        # distributed flash-decode: KV sequence axis sharded over a (seq,)
+        # mesh — resident context scales with the shard count
+        # (parallel/ring_decode.py). fp/XLA long-context path.
+        return _run_seq_sharded(opts, config, params, tokenizer, log)
+
     generator = Generator(
         config, params, dtype=dtype, precision=precision,
         backend=opts["kernels"], kv_quant=opts["kv_cache"] == "int8",
@@ -269,4 +288,54 @@ def main(argv: list[str] | None = None) -> int:
     sys.stdout.buffer.flush()
     log(f"\n\n{int(result.tokens_per_sec)} tokens per second")
     log(f"ttft: {result.ttft_s * 1e3:.1f} ms")
+    return 0
+
+
+def _run_seq_sharded(opts, config, params, tokenizer, log) -> int:
+    """`--seq-shards N` path: generate through the sequence-sharded decoder
+    (parallel/ring_decode.SeqShardedDecoder) with the same sampling flags
+    and output framing as the Generator path."""
+    import time
+
+    from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.parallel.ring_decode import SeqShardedDecoder
+    from llama2_tpu.parallel.sp import make_seq_mesh
+    from llama2_tpu.quant.q8 import QuantTensor
+    from llama2_tpu.tokenizer.tokenizer import BOS
+
+    if any(isinstance(v, QuantTensor) for v in params.values()):
+        _die(
+            "--seq-shards runs the fp/XLA sequence-sharded decoder; "
+            "--quant int8 is not supported on this path"
+        )
+    for flag, val, off in (
+        ("--spec", opts["spec"], 0),
+        ("--kv-cache", opts["kv_cache"], "f32"),
+        ("--kernels", opts["kernels"], "xla"),
+    ):
+        if val != off:
+            print(
+                f"warning: {flag} does not apply to --seq-shards (fp/XLA "
+                "distributed flash-decode); ignored",
+                file=sys.stderr,
+            )
+
+    prompt_tokens: list[int] = []
+    if opts["input"]:
+        prompt_tokens = tokenizer.encode(opts["input"])
+    gen = GenerationConfig(
+        temperature=opts["temperature"],
+        top_p=opts["top_p"],
+        steps=opts["seq_len"],
+        seed=opts["seed"],
+    )
+    decoder = SeqShardedDecoder(config, params, make_seq_mesh(opts["seq_shards"]))
+    log(f"seq shards: {decoder.sp} (rows per shard: {decoder.s_local})")
+    t0 = time.perf_counter()
+    tokens = decoder.generate_batch([prompt_tokens], gen)[0]
+    total_s = time.perf_counter() - t0
+    sys.stdout.buffer.write(tokenizer.decode(tokens, first_prev=BOS))
+    sys.stdout.buffer.flush()
+    tps = (len(tokens) - 1) / total_s if len(tokens) > 1 and total_s > 0 else 0.0
+    log(f"\n\n{int(tps)} tokens per second")
     return 0

@@ -29,7 +29,7 @@ from llama2_tpu.ops.linear import linear
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "unroll"),
+    static_argnames=("config", "precision", "backend", "unroll", "axis_name"),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
     inline=True,
 )
@@ -48,13 +48,20 @@ def paged_forward_step(
     unroll: int = 1,
     ks_pool: jax.Array | None = None,  # (L, P, KVH, page) f32 — int8 pools
     vs_pool: jax.Array | None = None,
+    axis_name: str | None = None,  # tensor-parallel axis inside shard_map
 ):
     """One batched decode step.
 
     Returns ``(hidden, k_pool, v_pool)``, or
     ``(hidden, k_pool, ks_pool, v_pool, vs_pool)`` when scale pools are
     given (INT8 KV: per-row symmetric quantization, the paged analog of the
-    dense engine's ``kv_quant`` — attention_q8.quantize_kv_rows)."""
+    dense engine's ``kv_quant`` — attention_q8.quantize_kv_rows).
+
+    ``axis_name``: set when running INSIDE shard_map over a tensor-parallel
+    mesh (parallel/dp_paged.py): weights and the pools' kv-head axis are
+    LOCAL shards, ``config`` holds LOCAL head counts, and the row-parallel
+    wo/w2 outputs psum over the axis (models/llama._post_attention — the
+    same contract as the dense _run_layers path)."""
     B = tokens.shape[0]
     H, KVH, hs_real = config.n_heads, config.n_kv_heads, config.head_size
     hs_c = k_pool.shape[-1]  # possibly lane-padded
@@ -107,6 +114,7 @@ def paged_forward_step(
 
     use_tail_qkv = (
         cos_il is not None
+        and axis_name is None  # the tail megakernel spans both tp psums
         and all(
             isinstance(stacked.get(k), QuantTensor)
             for k in ("wqkv", "wo", "w1", "w3", "w2")
@@ -244,7 +252,7 @@ def paged_forward_step(
             from llama2_tpu.models.llama import _post_attention
 
             x = _post_attention(
-                x, att, lp, config, precision, backend, li
+                x, att, lp, config, precision, backend, li, axis_name
             )
             if kv_quant:
                 return (x, k_pool, ks_pool, v_pool, vs_pool), None
@@ -372,7 +380,7 @@ def paged_forward_step(
         att = att[..., :hs_real].reshape(B, 1, config.dim)
         from llama2_tpu.models.llama import _post_attention
 
-        x = _post_attention(x, att, lp, config, precision, backend, li)
+        x = _post_attention(x, att, lp, config, precision, backend, li, axis_name)
         if kv_quant:
             return (x, k_pool, ks_pool, v_pool, vs_pool), None
         return (x, k_pool, v_pool), None
@@ -433,7 +441,7 @@ def _write_window_scales(spool, scales, idx, page_ids, row_ids):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "unroll"),
+    static_argnames=("config", "precision", "backend", "unroll", "axis_name"),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
     inline=True,
 )
@@ -450,6 +458,7 @@ def paged_forward_window(
     unroll: int = 1,
     ks_pool: jax.Array | None = None,
     vs_pool: jax.Array | None = None,
+    axis_name: str | None = None,  # tensor-parallel axis inside shard_map
 ):
     """A (B, T) teacher-forced decode window over the page pools — the paged
     counterpart of the dense spec window (``batch_engine._tick_spec``'s
@@ -576,7 +585,7 @@ def paged_forward_window(
         att = att[..., :hs_real].reshape(B, T, config.dim)
         from llama2_tpu.models.llama import _post_attention
 
-        x = _post_attention(x, att, lp, config, precision, backend, li)
+        x = _post_attention(x, att, lp, config, precision, backend, li, axis_name)
         if kv_quant:
             return (x, k_pool, ks_pool, v_pool, vs_pool), None
         return (x, k_pool, v_pool), None

@@ -1,31 +1,49 @@
-"""Data-parallel paged serving: page pools sharded over the ``data`` axis.
+"""Mesh-sharded paged serving: page pools over a (data, model) mesh.
 
-VERDICT r2 weak 3 / next-round 7: with a replicated pool every dp replica
-holds ALL pages, so paged KV memory does not scale with dp — at odds with
-paging's reason to exist. This module shards the pool's page axis over
-``data`` with per-shard allocators instead: each data shard owns its slots'
-pages (slots already shard over ``data`` — contiguous blocks of B/dp), so a
-paged decode tick is embarrassingly data-parallel — zero collectives — and
-total pool bytes scale 1/dp per device.
+VERDICT r2 weak 3 / r3 next-round 4: with a replicated pool every replica
+holds ALL pages, so paged KV memory does not scale with the mesh — at odds
+with paging's reason to exist. This module shards the pools BOTH ways
+instead:
+
+* the page axis shards over ``data`` with per-shard allocators: each data
+  shard owns its slots' pages (slots already shard over ``data`` —
+  contiguous blocks of B/dp), so the per-slot side of a paged decode tick
+  is embarrassingly data-parallel;
+* the kv-head axis shards over ``model`` — exactly like the dense cache
+  (parallel/tp.py cache_specs): each model shard appends and attends its
+  OWN heads, weights tensor-shard column/row-parallel
+  (parallel/sharding.py), and the only collectives in the tick are the
+  Megatron psums on the row-parallel wo/w2 outputs plus one all-gather of
+  the vocab-sharded logits before sampling.
+
+Total pool bytes scale 1/(dp*tp) per device.
 
 Mechanism: the engine's device programs (`paged_engine._tick_paged_impl`,
 `_tick_spec_paged_impl`, `_stage_write*_impl`, `_gather_prefix_impl`) run
-unchanged inside ``jax.shard_map`` over the (data, model=1) mesh. Page
-tables hold LOCAL page ids (each shard's id space starts at 0, with local
-page 0 as its scratch page — the same inactive-slot contract as the
-single-device engine, per shard). Weights replicate across ``data``, so the
-single-chip fused Pallas kernels run as-is per shard — ``--paged --mesh
---kernels pallas`` composes on dp meshes (the tp>1 composition is the
-remaining gap; the engine falls back loudly there).
+inside ``jax.shard_map`` over the mesh with a LOCAL view: ``config`` is
+rewritten to per-shard head counts (parallel/tp.py local_config), weights
+arrive as their GSPMD shards (in_specs name the layout shard_params
+produced, so entering the region moves no data), and the single-chip fused
+Pallas kernels run as-is on local shapes — ``--paged --mesh dpxtp
+--kernels pallas`` composes. Page tables hold LOCAL page ids (each data
+shard's id space starts at 0, with local page 0 as its scratch page — the
+same inactive-slot contract as the single-device engine, per shard);
+page ids are replicated over ``model`` (every model shard holds the same
+pages, split by head).
 
 Host-side prefill helpers differ only in shard targeting:
 
-* ``_stage_write``: the owning shard writes the staged rows at the real
-  (page, row) coords; every other shard routes the same writes to ITS
-  scratch page (coords -> 0), which is garbage-by-contract — branch-free.
-* ``_gather_prefix``: the owner gathers its local prefix pages; the plane is
-  then psum-broadcast over ``data`` (prefill is replicated, all shards need
-  the same staging content).
+* ``_stage_write``: the owning data shard writes the staged rows at the
+  real (page, row) coords; every other data shard routes the same writes to
+  ITS scratch page (coords -> 0), which is garbage-by-contract —
+  branch-free. Each model shard writes its own kv-head slice.
+* ``_gather_prefix``: the owner gathers its local prefix pages; the plane
+  is then psum-broadcast over ``data`` (prefill is replicated over data,
+  all data shards need the same staging content; kv-heads stay sharded).
+
+Prefill itself runs through ``models.llama.forward(mesh=...)`` — the same
+shard_map path the dense engine uses (parallel/tp.run_layers_sharded) —
+so no separate prefill builder lives here.
 """
 
 from __future__ import annotations
@@ -39,41 +57,105 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from llama2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def dp_pool_supported(mesh, batch_size: int, n_pages: int) -> tuple[bool, str]:
-    """Can the paged engine shard its pool over ``data`` on this mesh?"""
+def dp_pool_supported(
+    mesh, batch_size: int, n_pages: int,
+    config=None, params=None, backend: str = "xla",
+) -> tuple[bool, str]:
+    """Can the paged engine shard its pools over this (data, model) mesh?
+
+    dp > 1 needs batch/page divisibility (per-shard allocators); tp > 1
+    additionally needs the fused-kernel tensor-parallel eligibility
+    (parallel/tp.tp_pallas_supported: stacked QuantTensors, whole kv-head
+    planes per shard) and the pallas backend — XLA callers on a pure-tp
+    mesh already compose via GSPMD (parallel/sharding.shard_pool) and keep
+    that path. ``params`` is the UNFUSED tree as loaded.
+    """
     if mesh is None:
         return False, "no mesh"
     if DATA_AXIS not in mesh.shape or MODEL_AXIS not in mesh.shape:
         return False, f"mesh axes {mesh.axis_names} != (data, model)"
     dp, tp = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
-    if dp <= 1:
-        return False, "data axis is 1 (nothing to shard)"
-    if tp != 1:
-        return False, (
-            f"tp={tp}: the paged tick has no model-axis composition yet "
-            "(pool replicates over data, kv-heads shard over model)"
-        )
-    if batch_size % dp:
-        return False, f"batch_size={batch_size} not divisible by dp={dp}"
-    if n_pages % dp:
-        return False, f"n_pages={n_pages} not divisible by dp={dp}"
+    if dp <= 1 and tp <= 1:
+        return False, "mesh is 1x1 (nothing to shard)"
+    if dp > 1:
+        if batch_size % dp:
+            return False, f"batch_size={batch_size} not divisible by dp={dp}"
+        if n_pages % dp:
+            return False, f"n_pages={n_pages} not divisible by dp={dp}"
+    if tp > 1:
+        if config is None or params is None:
+            return False, f"tp={tp}: eligibility needs config+params"
+        if not backend.startswith("pallas"):
+            return False, (
+                f"tp={tp}: the explicit shard_map paged tick is built for "
+                "the pallas kernels (XLA + mesh composes via GSPMD)"
+            )
+        from llama2_tpu.parallel.tp import tp_pallas_supported
+
+        ok, why = tp_pallas_supported(params, config, mesh)
+        if not ok:
+            return False, f"tp={tp}: {why}"
     return True, ""
 
 
-def _rep_specs(tree):
-    """Replicated PartitionSpec tree (per array leaf)."""
-    return jax.tree.map(lambda a: P(*([None] * jnp.ndim(a))), tree)
+def _leaf_specs(params: dict, mesh) -> dict:
+    """Per-leaf PartitionSpecs naming the GSPMD layout shard_params
+    produced (QuantTensor q/scale spec'd individually)."""
+    from llama2_tpu.parallel.sharding import leaf_spec
+
+    return {
+        k: jax.tree.map(lambda a, k=k: leaf_spec(k, a.shape, mesh), v)
+        for k, v in params.items()
+    }
+
+
+def _gather_logits(params: dict, mesh) -> bool:
+    """True when the classifier head is vocab-sharded on ``model`` (the
+    region then all-gathers local logits back to the full row before
+    sampling). Mirrors parallel/sharding.leaf_spec's divisibility rule."""
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    tp = mesh.shape[MODEL_AXIS]
+    if tp <= 1:
+        return False
+    w = params["wcls"]
+    if isinstance(w, QuantTensor):
+        return w.q.shape[1] % tp == 0 and w.scale.shape[1] % tp == 0
+    return w.shape[1] % tp == 0
+
+
+def _tp_statics(mesh, params, statics: dict) -> dict:
+    """Rewrite tick statics for the shard_map region: LOCAL config and the
+    model-axis psum/all-gather wiring when tp > 1."""
+    from llama2_tpu.parallel.tp import local_config
+
+    tp = mesh.shape[MODEL_AXIS]
+    out = dict(statics)
+    out["config"] = local_config(statics["config"], tp)
+    if tp > 1:
+        out["axis_name"] = MODEL_AXIS
+        out["gather_logits"] = _gather_logits(params, mesh)
+    return out
 
 
 def _pool_spec(kv_quant: bool):
-    pk = P(None, DATA_AXIS, None, None, None)  # (L, P, KVH, page, hs)
+    """(L, P, KVH, page, hs) pools: pages over ``data``, kv-heads over
+    ``model`` (axes of size 1 shard trivially)."""
+    pk = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     if kv_quant:
-        return pk, P(None, DATA_AXIS, None, None)  # scale pools (L,P,KVH,page)
+        return pk, P(None, DATA_AXIS, MODEL_AXIS, None)  # (L,P,KVH,page)
     return pk, None
 
 
+# staging planes (L, 1, KVH, S, hs): kv-heads sharded over ``model`` like
+# the pools (matches parallel/sharding.cache_specs for the B=1 plane),
+# replicated over ``data``
+_STAGING_SPEC = P(None, None, MODEL_AXIS, None, None)
+
+
 def shard_pool_dp(pool, mesh: Mesh):
-    """device_put a PagePool's arrays with the page axis on ``data``."""
+    """device_put a PagePool's arrays: pages on ``data``, kv-heads on
+    ``model``."""
     import dataclasses
 
     pk, ps = _pool_spec(pool.ks is not None)
@@ -88,13 +170,16 @@ def shard_pool_dp(pool, mesh: Mesh):
 
 
 def build_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
-    """shard_map'd `_tick_paged_impl`: everything per-slot shards over
-    ``data``; pools shard their page axis; zero collectives inside."""
+    """shard_map'd `_tick_paged_impl`: per-slot state shards over ``data``,
+    pools shard (page->data, kv-head->model), weights tensor-shard; the
+    region's collectives are the wo/w2 psums + one logits all-gather."""
     from llama2_tpu.runtime.paged_engine import _tick_paged_impl
 
+    statics = _tp_statics(mesh, params, statics)
     pk, ps = _pool_spec(kv_quant)
     b, kb = P(DATA_AXIS), P(DATA_AXIS, None)  # per-slot vectors / (B, x)
     tickb = P(None, DATA_AXIS)  # (K, B) write coords / packed output
+    pspecs = _leaf_specs(params, mesh)
 
     if kv_quant:
         def region(p, k, ks, v, vs, table, tokens, pos, budget, pids, rids,
@@ -103,7 +188,7 @@ def build_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
                 p, k, v, table, tokens, pos, budget, pids, rids,
                 temp, topp, am, act, keys, ks_pool=ks, vs_pool=vs, **statics
             )
-        in_specs = (_rep_specs(params), pk, ps, pk, ps, kb, b, b, b,
+        in_specs = (pspecs, pk, ps, pk, ps, kb, b, b, b,
                     tickb, tickb, b, b, b, b, kb)
         out_specs = (tickb, b, pk, pk, ps, ps)
         donate = (1, 2, 3, 4)
@@ -122,7 +207,7 @@ def build_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
         )
         return out[:4]  # drop the None scale pools (out_specs tree match)
 
-    in_specs = (_rep_specs(params), pk, pk, kb, b, b, b,
+    in_specs = (pspecs, pk, pk, kb, b, b, b,
                 tickb, tickb, b, b, b, b, kb)
     fn = jax.jit(
         jax.shard_map(region, mesh=mesh, in_specs=in_specs,
@@ -138,12 +223,15 @@ def build_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
 
 
 def build_spec_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
-    """shard_map'd `_tick_spec_paged_impl` (speculative windows, dp-local)."""
+    """shard_map'd `_tick_spec_paged_impl` (speculative windows: dp-local
+    per slot, model-psummed per layer under tp)."""
     from llama2_tpu.runtime.paged_engine import _tick_spec_paged_impl
 
+    statics = _tp_statics(mesh, params, statics)
     pk, ps = _pool_spec(kv_quant)
     b, kb = P(DATA_AXIS), P(DATA_AXIS, None)
     packedb = P(None, DATA_AXIS)
+    pspecs = _leaf_specs(params, mesh)
 
     if kv_quant:
         def region(p, k, ks, v, vs, table, hist, tokens, pos, budget, act):
@@ -151,7 +239,7 @@ def build_spec_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
                 p, k, v, table, hist, tokens, pos, budget, act,
                 ks_pool=ks, vs_pool=vs, **statics
             )
-        in_specs = (_rep_specs(params), pk, ps, pk, ps, kb, kb, b, b, b, b)
+        in_specs = (pspecs, pk, ps, pk, ps, kb, kb, b, b, b, b)
         out_specs = (packedb, pk, pk, ps, ps)
         donate = (1, 2, 3, 4)
     else:
@@ -160,7 +248,7 @@ def build_spec_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
                 p, k, v, table, hist, tokens, pos, budget, act, **statics
             )
             return out[:3]  # drop the None scale pools (spec tree mismatch)
-        in_specs = (_rep_specs(params), pk, pk, kb, kb, b, b, b, b)
+        in_specs = (pspecs, pk, pk, kb, kb, b, b, b, b)
         out_specs = (packedb, pk, pk)
         donate = (1, 2)
 
@@ -180,16 +268,19 @@ def build_spec_tick_dp(mesh: Mesh, params, kv_quant: bool, **statics):
 
 
 def build_stage_write_dp(mesh: Mesh, kv_quant: bool, bucket: int):
-    """shard_map'd stage write: the owning shard writes real coords, every
-    other shard writes the same rows to ITS scratch page (garbage by the
-    inactive-slot contract) — branch-free, no cond around the pools."""
+    """shard_map'd stage write: the owning data shard writes real coords,
+    every other data shard writes the same rows to ITS scratch page
+    (garbage by the inactive-slot contract) — branch-free, no cond around
+    the pools. Each model shard writes its own kv-head slice of the
+    staging plane into its pool shard (the quantize runs per (row, head),
+    so per-head scales are identical to the single-shard path)."""
     from llama2_tpu.runtime.paged_engine import (
         _stage_write_impl,
         _stage_write_q8_impl,
     )
 
     pk, ps = _pool_spec(kv_quant)
-    rep = P(*([None] * 5))  # staging planes replicate
+    stg = _STAGING_SPEC
 
     if kv_quant:
         def region(k, ks, v, vs, sk, sv, pids, rids, row0, shard):
@@ -199,7 +290,7 @@ def build_stage_write_dp(mesh: Mesh, kv_quant: bool, bucket: int):
             return _stage_write_q8_impl(
                 k, ks, v, vs, sk, sv, pids, rids, row0, bucket=bucket
             )
-        in_specs = (pk, ps, pk, ps, rep, rep, P(None), P(None), P(), P())
+        in_specs = (pk, ps, pk, ps, stg, stg, P(None), P(None), P(), P())
         out_specs = (pk, ps, pk, ps)
         donate = (0, 1, 2, 3)
     else:
@@ -210,7 +301,7 @@ def build_stage_write_dp(mesh: Mesh, kv_quant: bool, bucket: int):
             return _stage_write_impl(
                 k, v, sk, sv, pids, rids, row0, bucket=bucket
             )
-        in_specs = (pk, pk, rep, rep, P(None), P(None), P(), P())
+        in_specs = (pk, pk, stg, stg, P(None), P(None), P(), P())
         out_specs = (pk, pk)
         donate = (0, 1)
 
@@ -223,11 +314,13 @@ def build_stage_write_dp(mesh: Mesh, kv_quant: bool, bucket: int):
 
 def build_gather_prefix_dp(mesh: Mesh, kv_quant: bool, n: int):
     """shard_map'd prefix gather: the owner reads its local pages; the
-    gathered plane psum-broadcasts over ``data`` (staging is replicated)."""
+    gathered plane psum-broadcasts over ``data`` (staging is replicated
+    over data; kv-heads stay sharded over model — each model shard gathers
+    its own head slice)."""
     from llama2_tpu.runtime.paged_engine import _gather_prefix_impl
 
     pk, ps = _pool_spec(kv_quant)
-    rep = P(*([None] * 5))
+    stg = _STAGING_SPEC
 
     def region(sk, sv, k, v, table, shard, ks=None, vs=None):
         own = jax.lax.axis_index(DATA_AXIS) == shard
@@ -248,44 +341,13 @@ def build_gather_prefix_dp(mesh: Mesh, kv_quant: bool, n: int):
     if kv_quant:
         def region_q8(sk, sv, k, v, table, shard, ks, vs):
             return region(sk, sv, k, v, table, shard, ks, vs)
-        in_specs = (rep, rep, pk, pk, P(None), P(), ps, ps)
+        in_specs = (stg, stg, pk, pk, P(None), P(), ps, ps)
         return jax.jit(jax.shard_map(
-            region_q8, mesh=mesh, in_specs=in_specs, out_specs=(rep, rep),
+            region_q8, mesh=mesh, in_specs=in_specs, out_specs=(stg, stg),
             check_vma=False,
         ))
-    in_specs = (rep, rep, pk, pk, P(None), P())
+    in_specs = (stg, stg, pk, pk, P(None), P())
     return jax.jit(jax.shard_map(
-        region, mesh=mesh, in_specs=in_specs, out_specs=(rep, rep),
+        region, mesh=mesh, in_specs=in_specs, out_specs=(stg, stg),
         check_vma=False,
     ))
-
-
-def build_prefill_dp(mesh: Mesh, config, **statics):
-    """Replicated prefill chunk under shard_map: every shard runs the same
-    single-chip forward (Pallas kernels included — Mosaic can't be GSPMD-
-    partitioned, but a fully-replicated shard_map region runs it per device
-    verbatim) and produces identical staging planes + logits."""
-    from llama2_tpu.models.llama import forward, logits_from_hidden
-
-    def region(params, staging, seg, pos):
-        hidden, staging = forward(params, staging, seg, pos, config, **statics)
-        logits = logits_from_hidden(
-            params, hidden[:, -1, :], statics.get("precision"),
-            statics.get("backend", "xla"),
-        )
-        return logits, staging
-
-    def make(params, staging, seg, pos):
-        in_specs = (
-            _rep_specs(params), _rep_specs(staging),
-            P(None, None), P(),
-        )
-        out_specs = (P(None, None), _rep_specs(staging))
-        return jax.shard_map(
-            region, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )(params, staging, seg, pos)
-
-    # NO donation: ``self._staging`` is a reusable scratch plane shared by
-    # every admission (its stale content is never read by contract)
-    return jax.jit(make)

@@ -209,14 +209,26 @@ def _forward_step_seq(
 
 
 def _decode_scan(
-    params, cache_k, cache_v, prompt_buf, prompt_len, *, n_steps, config,
-    precision, seq_axis, s_local, model_axis, unroll,
+    params, cache_k, cache_v, prompt_buf, prompt_len, temp, topp, use_argmax,
+    base_keys, *, n_steps, stochastic, config, precision, seq_axis, s_local,
+    model_axis, unroll,
 ):
-    """Greedy teacher-forced decode: step i feeds token_i at position i
-    (writing its KV row), then token_{i+1} is the prompt token when inside
-    the prompt else the argmax (first-max semantics, main.zig:715-726).
-    Emits the token FED at each step — emitted[1:] mirrors the reference's
-    output stream (prompt echo + generated), BOS handling on the host."""
+    """Batched teacher-forced decode: step i feeds token_i at position i
+    (writing its KV row), then token_{i+1} is the row's prompt token while
+    inside its prompt else the sampled next (argmax first-max semantics or
+    the reference's temperature/top-p policy, main.zig:715-798). Emits the
+    token FED at each step — emitted[1:] mirrors the reference's output
+    stream (prompt echo + generated), BOS handling on the host.
+
+    ``prompt_len``: (B,) per-row prompt lengths (incl. BOS). Sampling keys
+    fold ``base_keys[b]`` by the logits' position, the exact scheme of
+    ``runtime.generator._decode_loop`` — a row seeded like a Generator run
+    reproduces its stream token-for-token. Sampling runs on logits that are
+    replicated across the mesh, so every shard picks the same token.
+    """
+    from llama2_tpu.runtime.batch_engine import _sample_batched, _slot_keys
+
+    B = prompt_buf.shape[-1]
 
     def body(carry, i):
         token, cache_k, cache_v = carry
@@ -225,11 +237,11 @@ def _decode_scan(
             seq_axis=seq_axis, s_local=s_local, model_axis=model_axis,
             unroll=unroll,
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        keys = _slot_keys(base_keys, jnp.broadcast_to(i, (B,)))
+        nxt = _sample_batched(logits, temp, topp, use_argmax, keys, stochastic)
         nxt = jnp.where(i + 1 < prompt_len, prompt_buf[i + 1], nxt)
         return (nxt, cache_k, cache_v), nxt
 
-    B = prompt_buf.shape[-1] if prompt_buf.ndim > 1 else 1
     tok0 = jnp.broadcast_to(prompt_buf[0].reshape(-1), (B,))
     (_, cache_k, cache_v), emitted = jax.lax.scan(
         body, (tok0, cache_k, cache_v), jnp.arange(n_steps)
@@ -238,10 +250,12 @@ def _decode_scan(
 
 
 class SeqShardedDecoder:
-    """Greedy decoding with the KV cache sequence-sharded over ``seq``
-    (optionally x tensor-parallel over ``model``). fp/XLA path — the
-    long-context memory win is the point; fused kernels stay single-shard.
-    """
+    """Decoding with the KV cache sequence-sharded over ``seq`` (optionally
+    x tensor-parallel over ``model``): batched prompts, the reference's
+    full sampling policy (argmax / temperature / top-p, seeded), reachable
+    from the CLI via ``--seq-shards``. fp/XLA path — the long-context
+    memory win is the point; fused kernels stay single-shard (the engines
+    cover that regime)."""
 
     def __init__(
         self,
@@ -294,29 +308,68 @@ class SeqShardedDecoder:
         return jax.device_put(z, s), jax.device_put(z, s)
 
     def generate(self, prompt_tokens: list[int], n_steps: int) -> list[int]:
-        """Greedy decode (BOS-prefixed like the reference loop,
-        main.zig:987-1019): returns emitted tokens (prompt echo + generated),
-        truncated at the first emitted BOS."""
+        """Greedy decode of one prompt (BOS-prefixed like the reference
+        loop, main.zig:987-1019): returns emitted tokens (prompt echo +
+        generated), truncated at the first emitted BOS."""
+        from llama2_tpu.config import GenerationConfig
+
+        return self.generate_batch(
+            [prompt_tokens],
+            GenerationConfig(temperature=0.0, steps=int(n_steps), seed=0),
+        )[0]
+
+    def generate_batch(
+        self, prompts: list[list[int]], gen
+    ) -> list[list[int]]:
+        """Decode a batch of prompts with the reference's sampling policy
+        (``gen``: a GenerationConfig — argmax at temperature 0, else
+        temperature-scaled softmax with optional top-p, main.zig:1002-1013).
+
+        Row ``b`` samples with ``PRNGKey(seed + b)`` folded by position —
+        row 0 of a seeded run reproduces the single-stream Generator's
+        stream for the same seed token-for-token (fp32/XLA numerics).
+        Returns each row's emitted tokens (prompt echo + generated),
+        truncated at its first emitted BOS."""
+        import time
+
+        from llama2_tpu.ops import sampling
         from llama2_tpu.tokenizer.tokenizer import BOS
 
         c = self.config
-        n_steps = min(n_steps, c.seq_len)
-        if len(prompt_tokens) + 1 > c.seq_len:
-            # match the engines' admission-time capacity errors instead of a
-            # numpy broadcast crash at the buffer fill below
-            raise ValueError(
-                f"prompt of {len(prompt_tokens)} tokens (+ BOS) exceeds "
-                f"seq_len={c.seq_len}"
-            )
-        prompt = [BOS] + list(prompt_tokens)
-        buf = np.zeros((c.seq_len, 1), np.int32)
-        buf[: len(prompt), 0] = prompt
+        B = len(prompts)
+        n_steps = gen.resolve_steps(c.seq_len)
+        buf = np.zeros((c.seq_len, B), np.int32)
+        plens = np.zeros(B, np.int32)
+        for b, p in enumerate(prompts):
+            if len(p) + 1 > c.seq_len:
+                # match the engines' admission-time capacity errors instead
+                # of a numpy broadcast crash at the buffer fill below
+                raise ValueError(
+                    f"prompt of {len(p)} tokens (+ BOS) exceeds "
+                    f"seq_len={c.seq_len}"
+                )
+            row = [BOS] + list(p)
+            buf[: len(row), b] = row
+            plens[b] = len(row)
 
-        fn = self._fns.get(n_steps)
+        from llama2_tpu.runtime.batch_engine import _host_prngkey
+
+        mode = sampling.choose_mode(gen.temperature, gen.top_p)
+        stochastic = mode != sampling.ARGMAX
+        seed = gen.seed if gen.seed is not None else time.time_ns() % (2**63)
+        base_keys = np.stack([_host_prngkey(seed + b) for b in range(B)])
+        temp = np.full(
+            B, gen.temperature if gen.temperature > 0 else 1.0, np.float32
+        )
+        topp = np.full(B, min(max(gen.top_p, 0.0), 1.0), np.float32)
+        argmax = np.full(B, gen.temperature == 0.0)
+
+        fn = self._fns.get((n_steps, stochastic, B))
         if fn is None:
             region = partial(
                 _decode_scan,
                 n_steps=int(n_steps),
+                stochastic=stochastic,
                 config=local_config(c, self.tp),
                 precision=self.precision,
                 seq_axis=SEQ_AXIS,
@@ -324,25 +377,32 @@ class SeqShardedDecoder:
                 model_axis=MODEL_AXIS if self.tp > 1 else None,
                 unroll=self.unroll,
             )
-            fn = self._fns[n_steps] = jax.jit(
+            rep1 = P(None)
+            fn = self._fns[(n_steps, stochastic, B)] = jax.jit(
                 jax.shard_map(
                     region,
                     mesh=self.mesh,
                     in_specs=(
                         self.pspecs, self.cspec, self.cspec,
-                        P(None, None), P(),
+                        P(None, None), rep1, rep1, rep1, rep1, P(None, None),
                     ),
                     out_specs=(P(None, None), self.cspec, self.cspec),
                     check_vma=False,
                 ),
                 donate_argnums=(1, 2),
             )
-        ck, cv = self._cache(1)
+        ck, cv = self._cache(B)
         emitted, _, _ = fn(
-            self.params, ck, cv, jnp.asarray(buf), jnp.int32(len(prompt))
+            self.params, ck, cv, jnp.asarray(buf), jnp.asarray(plens),
+            jnp.asarray(temp), jnp.asarray(topp), jnp.asarray(argmax),
+            jnp.asarray(base_keys),
         )
-        # emitted[i] is the token FED at step i+1, i.e. sequence positions
+        # emitted[b][i] is the token FED at step i+1, i.e. sequence positions
         # 1..n_steps — exactly the reference's printed stream (prompt echo +
         # generated, BOS at position 0 never printed; main.zig:995-1042).
-        out = [int(t) for t in np.asarray(emitted)[0]]
-        return out[: out.index(BOS)] if BOS in out else out
+        rows = np.asarray(emitted)
+        out = []
+        for b in range(B):
+            toks = [int(t) for t in rows[b]]
+            out.append(toks[: toks.index(BOS)] if BOS in toks else toks)
+        return out

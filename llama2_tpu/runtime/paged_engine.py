@@ -50,6 +50,7 @@ def _tick_paged_impl(
     *, config: ModelConfig, precision, backend: str,
     n_ticks: int = 1, stochastic: bool = True, unroll: int = 1,
     ks_pool=None, vs_pool=None,  # per-row scale pools (INT8 KV)
+    axis_name=None, gather_logits: bool = False,
 ):
     """n_ticks paged decode steps per host sync (see batch_engine._tick for
     the freeze semantics — identical here, with page-table writes).
@@ -58,6 +59,13 @@ def _tick_paged_impl(
     coordinates — positions beyond their final pos inside their own pages,
     never attended and recycled at retire — so the write coords don't need
     per-slot branching on device.
+
+    ``axis_name``/``gather_logits``: tensor-parallel mode inside shard_map
+    (parallel/dp_paged.py) — ``config`` holds LOCAL head counts, the
+    forward psums its row-parallel outputs over ``axis_name``, and with
+    ``gather_logits`` the vocab-sharded classifier's local logits
+    all-gather back to the full vocab row before sampling (every shard
+    then samples the identical next token for its local slots).
     """
     kv_quant = ks_pool is not None
 
@@ -67,15 +75,20 @@ def _tick_paged_impl(
             hidden, k_pool, ks_pool, v_pool, vs_pool = paged_forward_step(
                 params, k_pool, v_pool, table, tokens, pos,
                 page_ids[i], row_ids[i], config, precision, backend,
-                unroll, ks_pool=ks_pool, vs_pool=vs_pool,
+                unroll, ks_pool=ks_pool, vs_pool=vs_pool, axis_name=axis_name,
             )
         else:
             tokens, pos, budget, active, k_pool, v_pool = carry
             hidden, k_pool, v_pool = paged_forward_step(
                 params, k_pool, v_pool, table, tokens, pos,
                 page_ids[i], row_ids[i], config, precision, backend, unroll,
+                axis_name=axis_name,
             )
         logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
+        if gather_logits:
+            logits = jax.lax.all_gather(
+                logits, axis_name, axis=-1, tiled=True
+            )
         nxt = _sample_batched(
             logits, temperature, top_p, use_argmax,
             _slot_keys(base_keys, pos), stochastic,
@@ -114,7 +127,8 @@ def _tick_paged_impl(
 _tick_paged = partial(
     jax.jit,
     static_argnames=(
-        "config", "precision", "backend", "n_ticks", "stochastic", "unroll"
+        "config", "precision", "backend", "n_ticks", "stochastic", "unroll",
+        "axis_name", "gather_logits",
     ),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
 )(_tick_paged_impl)
@@ -125,6 +139,7 @@ def _tick_spec_paged_impl(
     *, config: ModelConfig, precision, backend: str,
     n_windows: int = 1, d: int = 4, unroll: int = 1,
     ks_pool=None, vs_pool=None,
+    axis_name=None, gather_logits: bool = False,
 ):
     """Paged twin of ``batch_engine._tick_spec``: each window runs one
     (B, d) teacher-forced forward over the page pools
@@ -154,13 +169,16 @@ def _tick_spec_paged_impl(
             hidden, k_pool, ks_pool, v_pool, vs_pool = paged_forward_window(
                 params, k_pool, v_pool, table, seg, pos, config, precision,
                 backend, unroll, ks_pool=ks_pool, vs_pool=vs_pool,
+                axis_name=axis_name,
             )
         else:
             hidden, k_pool, v_pool = paged_forward_window(
                 params, k_pool, v_pool, table, seg, pos, config, precision,
-                backend, unroll,
+                backend, unroll, axis_name=axis_name,
             )
         logits = logits_from_hidden(params, hidden, precision, backend)
+        if gather_logits:
+            logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
         targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, d)
         hist, tokens, pos, budget, active, emitted = _spec_commit(
             seg, targets, hist, tokens, pos, budget, active, d, S
@@ -193,7 +211,8 @@ def _tick_spec_paged_impl(
 _tick_spec_paged = partial(
     jax.jit,
     static_argnames=(
-        "config", "precision", "backend", "n_windows", "d", "unroll"
+        "config", "precision", "backend", "n_windows", "d", "unroll",
+        "axis_name", "gather_logits",
     ),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
 )(_tick_spec_paged_impl)
@@ -300,8 +319,9 @@ class PagedBatchEngine(BatchEngine):
     """BatchEngine with a paged KV cache (slot planes -> page tables)."""
 
     _DENSE_CACHE = False  # pools replace slot planes; see BatchEngine
-    _SHARD_MAP_TICKS = False  # paged ticks call the page-table kernels
-    # directly; mesh + pallas downgrades (loudly) to the XLA paged path
+    _SHARD_MAP_TICKS = False  # flipped per instance in __init__ when the
+    # (data, model) mesh path engages (parallel/dp_paged.py); an ineligible
+    # mesh + pallas downgrades (loudly) to the XLA paged path
 
     def __init__(
         self,
@@ -313,30 +333,47 @@ class PagedBatchEngine(BatchEngine):
         prefix_cache: bool = False,
         **kw,
     ):
-        # dp-sharded pool path (parallel/dp_paged.py): on a (dp>1, tp=1)
-        # mesh the page pools shard their page axis over ``data`` with
-        # per-shard allocators — pool bytes scale 1/dp per device, ticks run
-        # the single-chip kernels (pallas included) per shard under
-        # shard_map with zero collectives. Decided BEFORE super().__init__
-        # so the base class keeps backend="pallas" instead of downgrading.
+        # mesh-sharded pool path (parallel/dp_paged.py): pools shard their
+        # page axis over ``data`` with per-shard allocators AND their
+        # kv-head axis over ``model`` — pool bytes scale 1/(dp*tp) per
+        # device; ticks run the single-chip fused kernels per shard under
+        # shard_map (psum on wo/w2 + one logits all-gather when tp > 1).
+        # Decided BEFORE super().__init__ so the base class keeps
+        # backend="pallas" instead of downgrading.
         if n_pages is None:
             n_pages = max(
                 batch_size, (batch_size * config.seq_len) // (2 * page_size)
             )
-        self._dp = 0
+        self._dp = 0  # data shards for the page allocators (0 = global)
+        self._tp = 1  # model shards of the kv-head axis
+        self._mesh_ticks = False  # ticks/stage/gather via shard_map builders
         mesh = kw.get("mesh")
+        if kw.get("collective") == "ring":
+            # the paged tick reduces wo/w2 with psum only; the overlapped
+            # ring is wired into the DENSE decode layer (models/llama.py)
+            raise NotImplementedError(
+                "collective='ring' is not wired into the paged ticks yet"
+            )
         if mesh is not None:
             from llama2_tpu.parallel.dp_paged import dp_pool_supported
-            from llama2_tpu.parallel.mesh import DATA_AXIS
+            from llama2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
             dp = mesh.shape.get(DATA_AXIS, 1)
+            tp = mesh.shape.get(MODEL_AXIS, 1)
             n_try = -(-n_pages // dp) * dp  # round capacity hints up
-            ok, why = dp_pool_supported(mesh, batch_size, n_try)
+            ok, why = dp_pool_supported(
+                mesh, batch_size, n_try, config=config, params=params,
+                backend=kw.get("backend", "xla"),
+            )
             if ok:
-                self._dp = dp
+                self._dp = dp if dp > 1 else 0
+                self._tp = tp
+                self._mesh_ticks = True
                 n_pages = n_try
-                # tp == 1 here, so the base class's shard_map eligibility
-                # check passes trivially and pallas is NOT downgraded
+                # the base class re-runs tp_pallas_supported (same check
+                # dp_pool_supported made for tp > 1) and sets fwd_mesh, so
+                # pallas is NOT downgraded and prefill gets the shard_map
+                # forward
                 self._SHARD_MAP_TICKS = True
             elif dp > 1:
                 import warnings
@@ -397,13 +434,13 @@ class PagedBatchEngine(BatchEngine):
     # ---- overrides ----
 
     def _shard(self, pool):
-        """Shard the page pools over the engine's mesh: page axis over
-        ``data`` with per-shard allocators when the dp path is on
-        (parallel/dp_paged.py), else kv-heads on model with the page axis
-        replicated (parallel.sharding.pool_specs)."""
+        """Shard the page pools over the engine's mesh: (page->data,
+        kv-head->model) with per-shard allocators when the shard_map tick
+        path is on (parallel/dp_paged.py), else kv-heads on model with the
+        page axis replicated (parallel.sharding.pool_specs, GSPMD)."""
         if self.mesh is None:
             return pool
-        if self._dp:
+        if self._mesh_ticks:
             from llama2_tpu.parallel.dp_paged import shard_pool_dp
 
             return shard_pool_dp(pool, self.mesh)
@@ -506,7 +543,7 @@ class PagedBatchEngine(BatchEngine):
         # prefill writes pools/tables/mirrors outside the pipelined chain:
         # flush any in-flight windows first (see BatchEngine._drain)
         self._drain(0)
-        if self._dp:
+        if self._mesh_ticks:
             from llama2_tpu.parallel import dp_paged
         else:
             dp_paged = None
@@ -578,7 +615,7 @@ class PagedBatchEngine(BatchEngine):
         # then starts at p0.
         staging = self._staging
         if p0:
-            if self._dp:
+            if self._mesh_ticks:
                 fn = self._dp_prog(
                     ("gather", len(hits)),
                     lambda: dp_paged.build_gather_prefix_dp(
@@ -608,33 +645,21 @@ class PagedBatchEngine(BatchEngine):
             for c in PREFILL_CHUNKS:
                 if len(remaining) >= c:
                     seg = remaining[:c]
-                    if self._dp:
-                        # replicated shard_map prefill: Mosaic kernels can't
-                        # be GSPMD-partitioned, so under the dp mesh every
-                        # shard runs the identical single-chip forward
-                        fn = self._dp_prog(
-                            "prefill",
-                            lambda: dp_paged.build_prefill_dp(
-                                self.mesh, self.config,
-                                precision=self.precision,
-                                backend=self.backend,
-                            ),
-                        )
-                        logits_b, staging = fn(
-                            self.params, staging, jnp.asarray(seg[None, :]),
-                            jnp.int32(pos),
-                        )
-                        logits = logits_b[0]
-                    else:
-                        hidden, staging = forward(
-                            self.params, staging, jnp.asarray(seg[None, :]),
-                            jnp.int32(pos), self.config, self.precision,
-                            self.backend,
-                        )
-                        logits = logits_from_hidden(
-                            self.params, hidden[:, -1, :], self.precision,
-                            self.backend,
-                        )[0]
+                    # mesh engines prefill through the SAME shard_map
+                    # forward the dense engine uses (fwd_mesh set =>
+                    # parallel/tp.run_layers_sharded: per-shard pallas
+                    # kernels, psum reduces, tp-sharded staging heads;
+                    # fwd_mesh None => plain forward, GSPMD from the input
+                    # shardings — covers the XLA dp-only mesh)
+                    hidden, staging = forward(
+                        self.params, staging, jnp.asarray(seg[None, :]),
+                        jnp.int32(pos), self.config, self.precision,
+                        self.backend, 1, self.fwd_mesh,
+                    )
+                    logits = logits_from_hidden(
+                        self.params, hidden[:, -1, :], self.precision,
+                        self.backend, self.fwd_mesh,
+                    )[0]
                     pos += len(seg)
                     remaining = remaining[len(seg):]
                     break
@@ -659,7 +684,7 @@ class PagedBatchEngine(BatchEngine):
         page_idx = np.minimum(logical // self.page_size, len(full) - 1)
         pids = np.where(real, table[page_idx], 0).astype(np.int32)
         rids = np.where(real, logical % self.page_size, 0).astype(np.int32)
-        if self._dp:
+        if self._mesh_ticks:
             # shard_map stage write: only slot's shard writes real coords,
             # other shards route the same rows to THEIR scratch page
             fn = self._dp_prog(
@@ -863,7 +888,7 @@ class PagedBatchEngine(BatchEngine):
             backend=self.backend, n_windows=self.ticks_per_sync,
             d=self.spec_window, unroll=self.layer_unroll,
         )
-        if self._dp:
+        if self._mesh_ticks:
             from llama2_tpu.parallel import dp_paged
 
             fn = self._dp_prog(
@@ -922,7 +947,7 @@ class PagedBatchEngine(BatchEngine):
             backend=self.backend, n_ticks=K, stochastic=stochastic,
             unroll=self.layer_unroll,
         )
-        if self._dp:
+        if self._mesh_ticks:
             from llama2_tpu.parallel import dp_paged
 
             fn = self._dp_prog(

@@ -1,0 +1,166 @@
+"""Paged serving composed with tensor parallelism (VERDICT r3 next-round 4).
+
+The page pools shard BOTH ways over the (data, model) mesh
+(parallel/dp_paged.py): pages over ``data`` with per-shard allocators,
+kv-heads over ``model`` — exactly like the dense cache in parallel/tp.py —
+so ``--paged --mesh dpxtp --kernels pallas`` runs genuinely sharded pools
+(bytes scale 1/(dp*tp) per device) with the fused kernels per shard. These
+tests lock:
+
+* token parity of the mesh paged engine (tp-only and dp x tp) with the
+  single-chip pallas paged engine — greedy, sampled/multi-tick, INT8 KV,
+  speculative windows, and prefix-cache admission;
+* that the pools are REALLY sharded (shard shapes + no replicated bytes);
+* that the tick's program contains the pallas kernels inside shard_map
+  plus the tp collectives (wo/w2 psums, vocab all-gather);
+* that the XLA backend on a tp mesh keeps the GSPMD path (no shard_map).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import random_params
+
+from llama2_tpu.config import GenerationConfig, ModelConfig
+from llama2_tpu.parallel.mesh import make_mesh
+from llama2_tpu.quant.q8 import quantize_params
+from llama2_tpu.runtime.paged_engine import PagedBatchEngine
+
+CFG = ModelConfig(
+    dim=256, hidden_dim=512, n_layers=2, n_heads=4, n_kv_heads=4,
+    vocab_size=128, seq_len=64,
+)
+
+PROMPTS = [[5, 17], [99, 9, 44], [7], [33, 2, 8], [9, 9], [64]]
+
+
+@pytest.fixture(scope="module")
+def qparams():
+    return quantize_params(random_params(CFG, seed=7), group_size=64)
+
+
+def _serve(eng, gen, prompts=PROMPTS):
+    queues = [eng.submit(p, gen) for p in prompts]
+    eng.run_until_idle()
+    out = []
+    for q in queues:
+        r = q.get(timeout=300)
+        assert not isinstance(r, Exception), r
+        out.append(r.tokens)
+    return out
+
+
+def _engine(qparams, mesh=None, **kw):
+    kw.setdefault("page_size", 8)
+    kw.setdefault("n_pages", 48)
+    return PagedBatchEngine(
+        CFG, qparams, batch_size=4, backend="pallas", mesh=mesh, **kw
+    )
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2)])
+def test_tp_paged_token_parity(qparams, dp, tp):
+    gen = GenerationConfig(temperature=0.0, steps=14)
+    want = _serve(_engine(qparams), gen)
+    eng = _engine(qparams, mesh=make_mesh(dp, tp))
+    assert eng.backend == "pallas"  # no downgrade
+    assert eng._mesh_ticks and eng._tp == tp
+    assert eng._dp == (dp if dp > 1 else 0)
+    assert _serve(eng, gen) == want
+
+
+def test_tp_paged_pool_bytes_scale(qparams):
+    """The point of the path: each device holds n_pages/dp pages of
+    KVH/tp heads — pool bytes scale 1/(dp*tp), nothing replicates."""
+    dp, tp = 2, 2
+    eng = _engine(qparams, mesh=make_mesh(dp, tp))
+    shard = eng.pool.k.addressable_shards[0].data
+    assert shard.shape[1] == eng.pool.n_pages // dp
+    assert shard.shape[2] == CFG.n_kv_heads // tp
+    total = sum(s.data.nbytes for s in eng.pool.k.addressable_shards)
+    assert total == eng.pool.k.nbytes  # no replication
+
+
+def test_tp_paged_sampled_multitick(qparams):
+    gen = GenerationConfig(temperature=0.8, top_p=0.9, steps=12, seed=11)
+    want = _serve(_engine(qparams, ticks_per_sync=3), gen)
+    got = _serve(
+        _engine(qparams, ticks_per_sync=3, mesh=make_mesh(1, 2)), gen
+    )
+    assert got == want
+
+
+def test_tp_paged_int8_kv(qparams):
+    # the q8 paged kernel's RMW scale window needs page_size % 128 == 0
+    gen = GenerationConfig(temperature=0.0, steps=12)
+    kw = dict(kv_quant=True, page_size=128, n_pages=8)
+    want = _serve(_engine(qparams, **kw), gen)
+    eng = _engine(qparams, mesh=make_mesh(2, 2), **kw)
+    assert eng._mesh_ticks and eng._tp == 2
+    assert _serve(eng, gen) == want
+
+
+def test_tp_paged_spec_windows(qparams):
+    gen = GenerationConfig(temperature=0.0, steps=14)
+    want = _serve(_engine(qparams), gen)
+    got = _serve(
+        _engine(qparams, spec_window=4, mesh=make_mesh(1, 2)), gen
+    )
+    assert got == want
+
+
+def test_tp_paged_prefix_cache(qparams):
+    """Prefix pages are shared per data shard with tp-sharded heads."""
+    gen = GenerationConfig(temperature=0.0, steps=20)
+    prompts = [[3] * 17, [3] * 17, [5] * 17, [3] * 17]
+    want = _serve(_engine(qparams, prefix_cache=True), gen, prompts)
+    eng = _engine(qparams, prefix_cache=True, mesh=make_mesh(2, 2))
+    assert _serve(eng, gen, prompts) == want
+    assert eng.metrics["prefix_hit_pages"] >= 1
+
+
+def test_tp_paged_program_contains_kernels_and_collectives(qparams):
+    """--paged --mesh --kernels pallas on a tp mesh: the tick's program
+    contains the pallas kernels inside shard_map AND the tp collectives
+    (row-parallel psums + the vocab-sharded logits all-gather) — the fast
+    path truly executes per shard, reducing over the model axis."""
+    from llama2_tpu.parallel import dp_paged
+
+    mesh = make_mesh(2, 2)
+    eng = _engine(qparams, mesh=mesh)
+    fn = dp_paged.build_tick_dp(
+        mesh, eng.params, False, config=CFG, precision=eng.precision,
+        backend="pallas", n_ticks=1, stochastic=False, unroll=1,
+    )
+    B = 4
+    z = lambda *s: jnp.zeros(s, jnp.int32)
+    keys = jnp.zeros((B, 2), jnp.uint32)
+    jaxpr = str(jax.make_jaxpr(lambda *a: fn(*a))(
+        eng.params, eng.pool.k, eng.pool.v, z(B, eng.max_pages),
+        z(B), z(B), z(B) + 4, z(1, B), z(1, B),
+        jnp.ones(B, jnp.float32), jnp.ones(B, jnp.float32),
+        jnp.ones(B, bool), jnp.ones(B, bool), keys,
+    ))
+    assert "shard_map" in jaxpr
+    assert "pallas_call" in jaxpr
+    assert "psum" in jaxpr  # row-parallel wo/w2 reduces
+    assert "all_gather" in jaxpr  # vocab-sharded logits regather
+
+
+def test_tp_paged_xla_keeps_gspmd(qparams):
+    """XLA backend on a pure-tp mesh composes via GSPMD (shard_pool), not
+    the explicit shard_map tick — and still serves identical tokens."""
+    gen = GenerationConfig(temperature=0.0, steps=10)
+    want = _serve(
+        PagedBatchEngine(CFG, qparams, batch_size=4, page_size=8, n_pages=48),
+        gen,
+    )
+    eng = PagedBatchEngine(
+        CFG, qparams, batch_size=4, page_size=8, n_pages=48,
+        backend="xla", mesh=make_mesh(1, 2),
+    )
+    assert not eng._mesh_ticks
+    assert _serve(eng, gen) == want
