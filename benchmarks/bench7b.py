@@ -115,7 +115,19 @@ def main(argv=None) -> int:
                if args.batch_sweep else [args.batch])
     device_params = params  # becomes the device tree after the first engine
     primary = None
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for batch in batches:
+        # the dense int8-KV cache is (L, B, KVH, S, hs) x2 — refuse sweep
+        # entries that cannot fit weights + cache in HBM (batch 16 at 7B
+        # S=2048 wants 8.6 GB of cache on top of the 7 GB weight set)
+        kv_bytes = (2 * config.n_layers * batch * config.n_kv_heads
+                    * args.seq_len * (config.head_size + 4))
+        if wbytes + kv_bytes > 15.0e9:
+            print(f"[bench7b] SKIP batch {batch}: weights {wbytes/1e9:.1f} GB"
+                  f" + dense KV cache {kv_bytes/1e9:.1f} GB exceeds HBM "
+                  "(use the paged engine / smaller --seq-len for this point)",
+                  file=sys.stderr)
+            continue
         eng = BatchEngine(
             config, device_params, batch_size=batch, backend="pallas",
             kv_quant=True, ticks_per_sync=args.ticks,
@@ -139,13 +151,13 @@ def main(argv=None) -> int:
         print(json.dumps(out))
         if batch == args.batch or primary is None:
             primary = out
+            if args.write:
+                # write EAGERLY: a later sweep entry crashing (e.g. an HBM
+                # OOM at a bigger batch) must not lose the primary result
+                with open(os.path.join(root, "BENCH_7B.json"), "w") as f:
+                    json.dump(primary, f, indent=1)
         del eng
         t0 = time.perf_counter()  # later entries report re-init only
-
-    if args.write and primary is not None:
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(root, "BENCH_7B.json"), "w") as f:
-            json.dump(primary, f, indent=1)
     return 0
 
 
