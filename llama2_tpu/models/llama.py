@@ -830,7 +830,64 @@ def _run_layers(
                 stacked["wqkv"],
             )
         )
-        if use_tail_qkv:
+        # ONE-launch decode layer: the whole-layer megakernel folds the
+        # attention block INTO the tail kernel so its KV DMAs overlap the
+        # wo weight stream (ops/pallas/layer_block.py; BREAKDOWN_7B.md
+        # attribution). Engages on the INT8-KV serving config; the 2-launch
+        # path below remains for fp32 caches and unsupported tilings.
+        use_layer_block = False
+        if use_tail_qkv and kv_quant:
+            from llama2_tpu.ops.pallas.layer_block import (
+                layer_block_supported,
+            )
+
+            # layer_block_supported is strict about hs/S 128-alignment even
+            # in interpret mode (the q8 RMW windows require it either way)
+            use_layer_block = layer_block_supported(
+                stacked["wo"], stacked["w1"], stacked["w3"], stacked["w2"],
+                stacked["wqkv"], config, x.shape[0], cache["k"].shape[3],
+            )
+        if use_layer_block:
+            from llama2_tpu.ops.pallas.layer_block import layer_block_stacked
+            from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
+
+            B, T = x.shape[:2]
+            D = config.dim
+            H, KVH = config.n_heads, config.n_kv_heads
+            pvec = jnp.broadcast_to(
+                jnp.asarray(pos, jnp.int32).reshape(-1), (B,)
+            )
+            scale = 1.0 / (hs**0.5)
+            qkv0 = quant_matmul_stacked(
+                x, stacked["wqkv"], jnp.int32(0),
+                rms_w=params["rms_att"][0], eps=config.norm_eps,
+            )
+
+            def lb(qkv, x2, caches, idx, with_qkv):
+                return layer_block_stacked(
+                    qkv[:, 0].reshape(B, H + 2 * KVH, hs), x2[:, 0],
+                    caches[0], caches[1], caches[2], caches[3],
+                    cos_il, sin_il, stacked["wo"], params["rms_ffn"],
+                    stacked["w1"], stacked["w3"], stacked["w2"],
+                    params["rms_att"], stacked["wqkv"], idx, pvec,
+                    n_heads=H, eps=config.norm_eps, scale=scale,
+                    with_qkv=with_qkv,
+                )
+
+            def dbody_block(carry, idx):
+                x2, qkv, caches = carry
+                out, qn, *caches = lb(qkv, x2, caches, idx, True)
+                return (out[:, None], qn[:, None], tuple(caches)), None
+
+            (x, qkv_last, caches), _ = jax.lax.scan(
+                dbody_block, (x, qkv0, caches), idxs[:-1], unroll=unroll
+            )
+            out, _, *caches = lb(
+                qkv_last, x, caches, jnp.int32(config.n_layers - 1), False
+            )
+            x = out[:, None]
+            caches = tuple(caches)
+        elif use_tail_qkv:
             from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_stacked
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked
 
