@@ -188,6 +188,8 @@ def _measure(eng, config, wbytes, batch, load_s, args) -> dict:
     eng.metrics["requests"] = 0
     eng.metrics["tokens"] = 0
     eng.metrics["ttft"] = []
+    eng.metrics["queue_wait"] = []
+    eng.metrics["prefill"] = []
     warmup_s = time.perf_counter() - t0
     print(f"[bench7b] warmup done in {warmup_s:.1f}s", file=sys.stderr)
 
@@ -237,6 +239,12 @@ def _measure(eng, config, wbytes, batch, load_s, args) -> dict:
         "unit": "tok/s aggregate",
         "ttft_p50_s": round(pct["p50"], 3) if pct["p50"] else None,
         "ttft_p95_s": round(pct["p95"], 3) if pct["p95"] else None,
+        # TTFT = queue wait + prefill; split so the prefill cost is
+        # falsifiable independently of admission queueing (VERDICT r4 #9)
+        "queue_wait_p50_s": round(pct["queue_wait_p50"], 3)
+        if pct["queue_wait_p50"] else None,
+        "prefill_p50_s": round(pct["prefill_p50"], 4)
+        if pct["prefill_p50"] else None,
         "decode_step_ms": round(step_s * 1e3, 2),
         "weight_stream_gb": round(wbytes / 1e9, 2),
         "roofline_weight_pct": round(100 * roof_w, 1),

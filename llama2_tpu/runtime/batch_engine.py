@@ -52,6 +52,8 @@ class Request:
     # filled by the engine:
     tokens: list[int] = dataclasses.field(default_factory=list)
     ttft_s: float | None = None
+    admitted_at: float | None = None  # first pulled off the queue (TTFT =
+    # queue wait [admitted_at - submitted_at] + prefill [ttft - queue wait])
     steps: int = 0
     retries: int = 0  # engine-recovery re-executions consumed
     sample_key: "np.ndarray | None" = None  # per-request PRNG base key
@@ -63,6 +65,11 @@ class BatchResult:
     prompt_len: int
     ttft_s: float
     total_s: float
+    # TTFT split (VERDICT r4 #9): admission-queue wait vs prefill+first-token
+    # work — under a request wave p50 TTFT is dominated by queueing, which
+    # says nothing about prefill cost unless reported separately
+    queue_wait_s: float = 0.0
+    prefill_s: float = 0.0
 
 
 @partial(jax.jit, static_argnames=("mode",))
@@ -526,7 +533,10 @@ class BatchEngine:
         # AOT-compiled executables from precompile(), keyed by program +
         # static variant; dispatch paths prefer these over the jit cache
         self._aot: dict = {}
-        self.metrics = {"requests": 0, "tokens": 0, "ttft": [], "preempted": 0}
+        self.metrics = {
+            "requests": 0, "tokens": 0, "ttft": [], "queue_wait": [],
+            "prefill": [], "preempted": 0,
+        }
 
     def precompile(self, prompt_lens=(), stochastic=(False,), spec=False):
         """AOT-compile the engine's device programs from shapes only and
@@ -764,6 +774,8 @@ class BatchEngine:
         # flush any in-flight syncs first (no-op in the common path — the
         # scheduler admits only after a retire was replayed)
         self._drain(0)
+        if req.admitted_at is None:  # re-admissions keep the first stamp
+            req.admitted_at = time.perf_counter()
         resume = req.ttft_s is not None and len(req.tokens) > len(req.prompt)
         prompt = req.prompt
         if resume:
@@ -836,6 +848,9 @@ class BatchEngine:
         if first_admission:
             self.metrics["requests"] += 1
             self.metrics["ttft"].append(req.ttft_s)
+            qw = req.admitted_at - req.submitted_at
+            self.metrics["queue_wait"].append(qw)
+            self.metrics["prefill"].append(req.ttft_s - qw)
 
     def _sample_first(self, logits, req: Request, pos: int) -> int:
         """Sample the first generated token from device logits (scalar fetch)."""
@@ -1023,6 +1038,14 @@ class BatchEngine:
                 prompt_len=len(slot_req.prompt),
                 ttft_s=slot_req.ttft_s or 0.0,
                 total_s=time.perf_counter() - slot_req.submitted_at,
+                queue_wait_s=(slot_req.admitted_at or slot_req.submitted_at)
+                - slot_req.submitted_at,
+                prefill_s=max(
+                    0.0,
+                    (slot_req.ttft_s or 0.0)
+                    - ((slot_req.admitted_at or slot_req.submitted_at)
+                       - slot_req.submitted_at),
+                ),
             )
         )
 
@@ -1032,10 +1055,17 @@ class BatchEngine:
     # ---- metrics ----
 
     def ttft_percentiles(self) -> dict:
-        t = sorted(self.metrics["ttft"])
-        if not t:
-            return {"p50": None, "p95": None}
+        def pct(series):
+            t = sorted(series)
+            if not t:
+                return None, None
+            return t[len(t) // 2], t[min(len(t) - 1, int(len(t) * 0.95))]
+
+        p50, p95 = pct(self.metrics["ttft"])
+        qw50, qw95 = pct(self.metrics["queue_wait"])
+        pf50, pf95 = pct(self.metrics["prefill"])
         return {
-            "p50": t[len(t) // 2],
-            "p95": t[min(len(t) - 1, int(len(t) * 0.95))],
+            "p50": p50, "p95": p95,
+            "queue_wait_p50": qw50, "queue_wait_p95": qw95,
+            "prefill_p50": pf50, "prefill_p95": pf95,
         }

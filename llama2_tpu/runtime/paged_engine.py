@@ -543,6 +543,8 @@ class PagedBatchEngine(BatchEngine):
         # prefill writes pools/tables/mirrors outside the pipelined chain:
         # flush any in-flight windows first (see BatchEngine._drain)
         self._drain(0)
+        if req.admitted_at is None:  # re-admissions keep the first stamp
+            req.admitted_at = time.perf_counter()
         if self._mesh_ticks:
             from llama2_tpu.parallel import dp_paged
         else:
@@ -767,6 +769,9 @@ class PagedBatchEngine(BatchEngine):
         if first_admission:
             self.metrics["requests"] += 1
             self.metrics["ttft"].append(req.ttft_s)
+            qw = req.admitted_at - req.submitted_at
+            self.metrics["queue_wait"].append(qw)
+            self.metrics["prefill"].append(req.ttft_s - qw)
 
     def _grow_tables(self, K: int) -> None:
         """Ensure pages exist to cover each active slot's next K positions

@@ -80,6 +80,12 @@ class _Handler(BaseHTTPRequestHandler):
                 "tokens": eng.metrics["tokens"],
                 "ttft_p50_ms": None if pct["p50"] is None else pct["p50"] * 1e3,
                 "ttft_p95_ms": None if pct["p95"] is None else pct["p95"] * 1e3,
+                # TTFT = queue wait + prefill; under a request wave the p50
+                # is queueing, so both series are reported separately
+                "queue_wait_p50_ms": None if pct["queue_wait_p50"] is None
+                else pct["queue_wait_p50"] * 1e3,
+                "prefill_p50_ms": None if pct["prefill_p50"] is None
+                else pct["prefill_p50"] * 1e3,
             }
             if getattr(eng, "prefix", None) is not None:
                 out["prefix_hit_pages"] = eng.metrics["prefix_hit_pages"]

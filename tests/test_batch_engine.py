@@ -99,6 +99,17 @@ def test_metrics(engine_and_ref):
     assert eng.metrics["requests"] == 3
     pct = eng.ttft_percentiles()
     assert pct["p50"] is not None and pct["p50"] > 0
+    # TTFT decomposes into queue wait + prefill (VERDICT r4 #9): with 3
+    # requests on 2 slots, the third request's wait is real queueing
+    assert len(eng.metrics["queue_wait"]) == 3
+    assert len(eng.metrics["prefill"]) == 3
+    for ttft, qw, pf in zip(
+        eng.metrics["ttft"], eng.metrics["queue_wait"], eng.metrics["prefill"]
+    ):
+        assert qw >= 0 and pf >= 0
+        assert abs(ttft - (qw + pf)) < 1e-6
+    assert pct["queue_wait_p50"] is not None
+    assert pct["prefill_p50"] is not None and pct["prefill_p50"] > 0
 
 
 def test_background_thread(engine_and_ref):
