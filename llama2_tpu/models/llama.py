@@ -863,6 +863,18 @@ def _run_layers(
                 rms_w=params["rms_att"][0], eps=config.norm_eps,
             )
 
+            # scale caches ride the layer scan PRE-reshaped to the kernel's
+            # 5-D layout: a per-layer jnp.reshape of a pallas-aliased carry
+            # breaks XLA's in-place aliasing and copies the whole scale
+            # array every layer (~130 us/layer measured at 1B scale)
+            L_, Sc = config.n_layers, cache["k"].shape[3]
+            caches = (
+                caches[0],
+                caches[1].reshape(L_, B, KVH, Sc // 128, 128),
+                caches[2],
+                caches[3].reshape(L_, B, KVH, Sc // 128, 128),
+            )
+
             def lb(qkv, x2, caches, idx, with_qkv):
                 return layer_block_stacked(
                     qkv[:, 0].reshape(B, H + 2 * KVH, hs), x2[:, 0],
@@ -871,7 +883,7 @@ def _run_layers(
                     stacked["w1"], stacked["w3"], stacked["w2"],
                     params["rms_att"], stacked["wqkv"], idx, pvec,
                     n_heads=H, eps=config.norm_eps, scale=scale,
-                    with_qkv=with_qkv,
+                    with_qkv=with_qkv, scales_5d=True,
                 )
 
             def dbody_block(carry, idx):
@@ -886,7 +898,12 @@ def _run_layers(
                 qkv_last, x, caches, jnp.int32(config.n_layers - 1), False
             )
             x = out[:, None]
-            caches = tuple(caches)
+            caches = (
+                caches[0],
+                caches[1].reshape(L_, B, KVH, Sc),
+                caches[2],
+                caches[3].reshape(L_, B, KVH, Sc),
+            )
         elif use_tail_qkv:
             from llama2_tpu.ops.pallas.mlp_block import layer_tail_qkv_stacked
             from llama2_tpu.ops.pallas.quant_matmul import quant_matmul_stacked

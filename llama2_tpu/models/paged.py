@@ -29,7 +29,8 @@ from llama2_tpu.ops.linear import linear
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "unroll", "axis_name"),
+    static_argnames=("config", "precision", "backend", "unroll", "axis_name",
+                     "ring"),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
     inline=True,
 )
@@ -49,6 +50,7 @@ def paged_forward_step(
     ks_pool: jax.Array | None = None,  # (L, P, KVH, page) f32 — int8 pools
     vs_pool: jax.Array | None = None,
     axis_name: str | None = None,  # tensor-parallel axis inside shard_map
+    ring: bool = False,  # explicit overlapped ring for the wo/w2 reduces
 ):
     """One batched decode step.
 
@@ -252,7 +254,7 @@ def paged_forward_step(
             from llama2_tpu.models.llama import _post_attention
 
             x = _post_attention(
-                x, att, lp, config, precision, backend, li, axis_name
+                x, att, lp, config, precision, backend, li, axis_name, ring
             )
             if kv_quant:
                 return (x, k_pool, ks_pool, v_pool, vs_pool), None
@@ -380,7 +382,9 @@ def paged_forward_step(
         att = att[..., :hs_real].reshape(B, 1, config.dim)
         from llama2_tpu.models.llama import _post_attention
 
-        x = _post_attention(x, att, lp, config, precision, backend, li, axis_name)
+        x = _post_attention(
+            x, att, lp, config, precision, backend, li, axis_name, ring
+        )
         if kv_quant:
             return (x, k_pool, ks_pool, v_pool, vs_pool), None
         return (x, k_pool, v_pool), None
@@ -441,7 +445,8 @@ def _write_window_scales(spool, scales, idx, page_ids, row_ids):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "precision", "backend", "unroll", "axis_name"),
+    static_argnames=("config", "precision", "backend", "unroll", "axis_name",
+                     "ring"),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
     inline=True,
 )
@@ -459,6 +464,7 @@ def paged_forward_window(
     ks_pool: jax.Array | None = None,
     vs_pool: jax.Array | None = None,
     axis_name: str | None = None,  # tensor-parallel axis inside shard_map
+    ring: bool = False,  # explicit overlapped ring for the wo/w2 reduces
 ):
     """A (B, T) teacher-forced decode window over the page pools — the paged
     counterpart of the dense spec window (``batch_engine._tick_spec``'s
@@ -585,7 +591,9 @@ def paged_forward_window(
         att = att[..., :hs_real].reshape(B, T, config.dim)
         from llama2_tpu.models.llama import _post_attention
 
-        x = _post_attention(x, att, lp, config, precision, backend, li, axis_name)
+        x = _post_attention(
+            x, att, lp, config, precision, backend, li, axis_name, ring
+        )
         if kv_quant:
             return (x, k_pool, ks_pool, v_pool, vs_pool), None
         return (x, k_pool, v_pool), None

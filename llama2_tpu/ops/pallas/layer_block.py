@@ -111,15 +111,7 @@ def _kernel(
     x_ref,  # (B, D) VMEM — residual stream entering the layer
     cos_ref,  # (B, hs) f32 — interleaved-duplicated step rope rows
     sin_ref,
-    k_hbm,  # (L, B, KVH, S, hs) int8 HBM (aliased)
-    ks_hbm,  # (L, B, KVH, S/128, 128) f32 HBM (aliased)
-    v_hbm,
-    vs_hbm,
-    wo_ref,  # (1, bk0, D) int8
-    so_ref,  # (1, bk0/G0, D) f32
-    rwf_ref,  # (1, 1, D) rms_ffn[l]
-    w1_ref, s1_ref, w3_ref, s3_ref, w2_ref, s2_ref,
-    *rest,
+    *rest,  # [k,ks,v,vs HBM (aliased)] + weights + outputs + scratch
     eps: float, D: int, HD: int, Dq: int,
     G0: int, G1: int, G2: int, Gq: int,
     bk0: int, s_wo: int, bk1: int, s13: int, bk2: int, m: int, T: int,
@@ -127,21 +119,29 @@ def _kernel(
     B: int, H: int, KVH: int, hs: int, CH: int, HC: int, QPC: int,
     bs: int, att_scale: float,
 ):
+    # generic operand walk (in_specs order; clearer than one giant unpack)
+    it = list(rest)
+    k_hbm, ks_hbm, v_hbm, vs_hbm = it[:4]
+    it = it[4:]
+    (wo_ref, so_ref, rwf_ref,
+     w1_ref, s1_ref, w3_ref, s3_ref, w2_ref, s2_ref) = it[:9]
+    it = it[9:]
+    rwa_ref = wq_ref = sq_ref = qo_ref = qacc_ref = None
     if with_qkv:
-        (rwa_ref, wq_ref, sq_ref,
-         o_ref, qo_ref, k_out, ks_out, v_out, vs_out,
-         r_ref, xn_ref, h1_ref, h3_ref, acc_ref, qacc_ref,
-         qro_ref, snew_ref, vnew_ref,
-         k_buf, ks_buf, v_buf, vs_buf,
-         kwin, vwin, kswin, vswin, ring_k, ring_v, rmw_k, rmw_v) = rest
-    else:
-        (o_ref, k_out, ks_out, v_out, vs_out,
-         r_ref, xn_ref, h1_ref, h3_ref, acc_ref,
-         qro_ref, snew_ref, vnew_ref,
-         k_buf, ks_buf, v_buf, vs_buf,
-         kwin, vwin, kswin, vswin, ring_k, ring_v, rmw_k, rmw_v) = rest
-        rwa_ref = wq_ref = sq_ref = qo_ref = qacc_ref = None
-
+        rwa_ref, wq_ref, sq_ref = it[:3]
+        it = it[3:]
+    o_ref = it.pop(0)
+    if with_qkv:
+        qo_ref = it.pop(0)
+    k_out, ks_out, v_out, vs_out = it[:4]
+    it = it[4:]
+    r_ref, xn_ref, h1_ref, h3_ref, acc_ref = it[:5]
+    it = it[5:]
+    if with_qkv:
+        qacc_ref = it.pop(0)
+    (qro_ref, snew_ref, vnew_ref, k_buf, ks_buf, v_buf, vs_buf,
+     kwin, vwin, kswin, vswin, ring_k, ring_v, rmw_k, rmw_v) = it[:15]
+    assert not it[15:], "operands left over"
     t = pl.program_id(1)
     s = pl.program_id(2)
     sp = s - s_wo
@@ -609,13 +609,17 @@ def _layer_block_2d(
         return (jnp.minimum(l_ref[0] + 1, L - 1), sqs, 0)
 
     def row_spec(width):
+        # index map DEPENDS on grid dim 0 (always block 0 — the grid's dim-0
+        # extent is 1): pallas marks constant-index windows
+        # pipeline_mode=synchronous, which serializes the WHOLE kernel's
+        # window pipeline — measured 3x on the weight phases (2026-08-20)
         return pl.BlockSpec(
-            (B, width), lambda i, t, s, p, l: (0, 0), memory_space=pltpu.VMEM
+            (B, width), lambda i, t, s, p, l: (i, 0), memory_space=pltpu.VMEM
         )
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [
-        pl.BlockSpec((B, H + 2 * KVH, hs), lambda i, t, s, p, l: (0, 0, 0),
+        pl.BlockSpec((B, H + 2 * KVH, hs), lambda i, t, s, p, l: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # qkv3
         row_spec(D),  # x
         row_spec(hs),  # cos_il
@@ -765,6 +769,7 @@ def layer_block_stacked(
     eps: float = 1e-5,
     scale: float | None = None,
     with_qkv: bool = True,
+    scales_5d: bool = False,
     interpret: bool | None = None,
     m_cap: int | None = None,
 ):
@@ -780,6 +785,11 @@ def layer_block_stacked(
     """
     B, rows, hs = qkv3.shape
     KVH, S = k8.shape[2], k8.shape[3]
+    # scales_5d: k_scale/v_scale arrive PRE-reshaped (L, B, KVH, S/128, 128).
+    # The per-call jnp.reshape of a scan-carried, pallas-aliased buffer
+    # breaks XLA's in-place aliasing and costs a full scale-array copy per
+    # LAYER (~130 us/layer at 1B scale, measured 2026-08-20); the decode
+    # path reshapes ONCE per step outside the layer scan instead.
     if rows != n_heads + 2 * KVH:
         raise ValueError(f"qkv rows {rows} != H {n_heads} + 2*KVH {2 * KVH}")
     if hs % 128 != 0 or S % 128 != 0:
@@ -791,9 +801,12 @@ def layer_block_stacked(
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     layer_vec = jnp.asarray(layer, jnp.int32).reshape(1)
     L = k8.shape[0]
-    # scales ride 4-D so a head-chunk slice keeps tiled last-two dims legal
-    ks4 = k_scale.reshape(L, B, KVH, S // 128, 128)
-    vs4 = v_scale.reshape(L, B, KVH, S // 128, 128)
+    # scales ride 5-D so a head-chunk slice keeps tiled last-two dims legal
+    if scales_5d:
+        ks4, vs4 = k_scale, v_scale
+    else:
+        ks4 = k_scale.reshape(L, B, KVH, S // 128, 128)
+        vs4 = v_scale.reshape(L, B, KVH, S // 128, 128)
     out, qn, k8, ks4, v8, vs4 = _layer_block_2d(
         qkv3, x, cos_il, sin_il, k8, ks4, v8, vs4,
         wo.q, wo.scale, rms_ffn, w1.q, w1.scale, w3.q, w3.scale,
@@ -802,6 +815,8 @@ def layer_block_stacked(
         float(eps), wo.group_size, w1.group_size, w2.group_size,
         wqkv.group_size, n_heads, float(scale), with_qkv, interpret, m_cap,
     )
+    if scales_5d:
+        return out, qn, k8, ks4, v8, vs4
     return (
         out, qn, k8, ks4.reshape(L, B, KVH, S), v8,
         vs4.reshape(L, B, KVH, S),

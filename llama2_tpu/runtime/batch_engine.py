@@ -429,8 +429,13 @@ class BatchEngine:
         self.collective = collective
         if mesh is not None and collective == "ring":
             if not self._SHARD_MAP_TICKS:
-                raise NotImplementedError(
-                    "collective='ring' is not wired into the paged ticks yet"
+                # paged engines set _SHARD_MAP_TICKS when dp_pool_supported
+                # accepts the mesh (pallas backend + shardable pools) —
+                # the ring region only exists inside the shard_map ticks
+                raise ValueError(
+                    "collective='ring' on a paged engine requires the "
+                    "shard_map tick path (backend='pallas' and a "
+                    "dp_pool_supported mesh)"
                 )
             from llama2_tpu.parallel.tp import tp_ring_supported
 

@@ -50,7 +50,7 @@ def _tick_paged_impl(
     *, config: ModelConfig, precision, backend: str,
     n_ticks: int = 1, stochastic: bool = True, unroll: int = 1,
     ks_pool=None, vs_pool=None,  # per-row scale pools (INT8 KV)
-    axis_name=None, gather_logits: bool = False,
+    axis_name=None, gather_logits: bool = False, ring: bool = False,
 ):
     """n_ticks paged decode steps per host sync (see batch_engine._tick for
     the freeze semantics — identical here, with page-table writes).
@@ -76,13 +76,14 @@ def _tick_paged_impl(
                 params, k_pool, v_pool, table, tokens, pos,
                 page_ids[i], row_ids[i], config, precision, backend,
                 unroll, ks_pool=ks_pool, vs_pool=vs_pool, axis_name=axis_name,
+                ring=ring,
             )
         else:
             tokens, pos, budget, active, k_pool, v_pool = carry
             hidden, k_pool, v_pool = paged_forward_step(
                 params, k_pool, v_pool, table, tokens, pos,
                 page_ids[i], row_ids[i], config, precision, backend, unroll,
-                axis_name=axis_name,
+                axis_name=axis_name, ring=ring,
             )
         logits = logits_from_hidden(params, hidden[:, -1, :], precision, backend)
         if gather_logits:
@@ -128,7 +129,7 @@ _tick_paged = partial(
     jax.jit,
     static_argnames=(
         "config", "precision", "backend", "n_ticks", "stochastic", "unroll",
-        "axis_name", "gather_logits",
+        "axis_name", "gather_logits", "ring",
     ),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
 )(_tick_paged_impl)
@@ -139,7 +140,7 @@ def _tick_spec_paged_impl(
     *, config: ModelConfig, precision, backend: str,
     n_windows: int = 1, d: int = 4, unroll: int = 1,
     ks_pool=None, vs_pool=None,
-    axis_name=None, gather_logits: bool = False,
+    axis_name=None, gather_logits: bool = False, ring: bool = False,
 ):
     """Paged twin of ``batch_engine._tick_spec``: each window runs one
     (B, d) teacher-forced forward over the page pools
@@ -169,12 +170,12 @@ def _tick_spec_paged_impl(
             hidden, k_pool, ks_pool, v_pool, vs_pool = paged_forward_window(
                 params, k_pool, v_pool, table, seg, pos, config, precision,
                 backend, unroll, ks_pool=ks_pool, vs_pool=vs_pool,
-                axis_name=axis_name,
+                axis_name=axis_name, ring=ring,
             )
         else:
             hidden, k_pool, v_pool = paged_forward_window(
                 params, k_pool, v_pool, table, seg, pos, config, precision,
-                backend, unroll, axis_name=axis_name,
+                backend, unroll, axis_name=axis_name, ring=ring,
             )
         logits = logits_from_hidden(params, hidden, precision, backend)
         if gather_logits:
@@ -212,7 +213,7 @@ _tick_spec_paged = partial(
     jax.jit,
     static_argnames=(
         "config", "precision", "backend", "n_windows", "d", "unroll",
-        "axis_name", "gather_logits",
+        "axis_name", "gather_logits", "ring",
     ),
     donate_argnames=("k_pool", "v_pool", "ks_pool", "vs_pool"),
 )(_tick_spec_paged_impl)
@@ -348,12 +349,6 @@ class PagedBatchEngine(BatchEngine):
         self._tp = 1  # model shards of the kv-head axis
         self._mesh_ticks = False  # ticks/stage/gather via shard_map builders
         mesh = kw.get("mesh")
-        if kw.get("collective") == "ring":
-            # the paged tick reduces wo/w2 with psum only; the overlapped
-            # ring is wired into the DENSE decode layer (models/llama.py)
-            raise NotImplementedError(
-                "collective='ring' is not wired into the paged ticks yet"
-            )
         if mesh is not None:
             from llama2_tpu.parallel.dp_paged import dp_pool_supported
             from llama2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -892,6 +887,7 @@ class PagedBatchEngine(BatchEngine):
             config=self.config, precision=self.precision,
             backend=self.backend, n_windows=self.ticks_per_sync,
             d=self.spec_window, unroll=self.layer_unroll,
+            ring=self.collective == "ring",
         )
         if self._mesh_ticks:
             from llama2_tpu.parallel import dp_paged
@@ -950,7 +946,7 @@ class PagedBatchEngine(BatchEngine):
         statics = dict(
             config=self.config, precision=self.precision,
             backend=self.backend, n_ticks=K, stochastic=stochastic,
-            unroll=self.layer_unroll,
+            unroll=self.layer_unroll, ring=self.collective == "ring",
         )
         if self._mesh_ticks:
             from llama2_tpu.parallel import dp_paged
