@@ -85,14 +85,18 @@ def dp_pool_supported(
     if tp > 1:
         if config is None or params is None:
             return False, f"tp={tp}: eligibility needs config+params"
-        if not backend.startswith("pallas"):
-            return False, (
-                f"tp={tp}: the explicit shard_map paged tick is built for "
-                "the pallas kernels (XLA + mesh composes via GSPMD)"
-            )
-        from llama2_tpu.parallel.tp import tp_pallas_supported
+        if backend.startswith("pallas"):
+            from llama2_tpu.parallel.tp import tp_pallas_supported
 
-        ok, why = tp_pallas_supported(params, config, mesh)
+            ok, why = tp_pallas_supported(params, config, mesh)
+        else:
+            # the region's math is backend-parametric: XLA callers run the
+            # per-shard dequant forward inside the same shard_map tick, so
+            # --paged --mesh scales KV memory regardless of --kernels
+            # (VERDICT r4 #8); only head/hidden divisibility is needed
+            from llama2_tpu.parallel.tp import tp_ring_supported
+
+            ok, why = tp_ring_supported(params, config, mesh)
         if not ok:
             return False, f"tp={tp}: {why}"
     return True, ""
