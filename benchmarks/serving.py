@@ -12,6 +12,10 @@ decode throughput, per-request latency and TTFT percentiles.
 same load: the weight tree uploads ONCE and both engines reuse the device
 arrays (on a tunneled TPU a 7 GB re-upload dwarfs the measurement), printing
 both lines plus the paged/dense aggregate ratio (VERDICT r3 next-round 3).
+``--suite`` runs the full round-5 measurement set on one upload: the
+dense-vs-paged compare, a paged batch sweep (--sweep-batches), and
+single-stream (batch-1) Generator decode plain and speculative — the direct
+analog of the reference's headline tok/s (README.md:86-88).
 ``--cache-dir`` mmaps a prebuilt make_random_q8 cache instead of regenerating
 random weights in-process (minutes at 7B scale).
 """
@@ -45,6 +49,15 @@ def main() -> None:
     ap.add_argument("--compare", action="store_true",
                     help="measure dense AND paged in one process (one weight "
                     "upload, shared device tree); prints both + the ratio")
+    ap.add_argument("--suite", action="store_true",
+                    help="one-upload round-5 set: compare + paged batch "
+                    "sweep + batch-1 single-stream plain/spec")
+    ap.add_argument("--sweep-batches", default="16,32",
+                    help="paged batch sizes for --suite's sweep")
+    ap.add_argument("--n-pages", type=int, default=None,
+                    help="paged pool capacity override (pages)")
+    ap.add_argument("--stream-steps", type=int, default=256,
+                    help="decode steps for the batch-1 single-stream legs")
     ap.add_argument("--cache-dir", default=None,
                     help="load a prebuilt make_random_q8 cache dir (mmap) "
                     "instead of regenerating random weights in-process")
@@ -86,7 +99,7 @@ def main() -> None:
         params = fuse_host(params)
     rng = np.random.default_rng(args.seed)
 
-    if args.compare:
+    if args.compare or args.suite:
         results = {}
         device_params = params
         for kind in ("dense", "paged"):
@@ -95,7 +108,49 @@ def main() -> None:
             results[kind] = _measure(eng, config, args, rng)
             del eng
         ratio = results["paged"]["tok_s"] / results["dense"]["tok_s"]
-        print(f"paged/dense aggregate: {ratio:.3f}")
+        print(f"paged/dense aggregate: {ratio:.3f}", flush=True)
+        if not args.suite:
+            return
+        # paged batch sweep: aggregate throughput scaling past the dense
+        # engine's HBM ceiling (the dense int8-KV cache OOMs at batch 16
+        # on 7B/seq 2048; the page pool sizes to the measured load)
+        import dataclasses as _dc
+
+        base_bs, base_req = args.batch_size, args.requests
+        for bsz in [int(b) for b in args.sweep_batches.split(",") if b]:
+            args = _dc.replace(args) if _dc.is_dataclass(args) else args
+            args.batch_size, args.requests = bsz, 2 * bsz
+            eng = _build(True, config, device_params, args)
+            results[f"paged@{bsz}"] = _measure(eng, config, args, rng)
+            del eng
+        args.batch_size, args.requests = base_bs, base_req
+        # batch-1 single stream (the reference's headline shape,
+        # README.md:86-88): plain on-device loop, then exact speculative
+        from llama2_tpu.runtime.generator import Generator
+
+        gen = GenerationConfig(
+            temperature=0.0, steps=args.stream_steps, seed=0
+        )
+        warm = GenerationConfig(temperature=0.0, steps=4, seed=0)
+        for name, spec_n in (("plain", 0), ("spec", 16)):
+            g = Generator(
+                config, device_params, backend=args.kernels,
+                kv_quant=args.kv_cache == "int8", speculative=spec_n,
+            )
+            g.generate([], warm)
+            best = 0.0
+            ref = None
+            for _ in range(3):
+                r = g.generate([], gen)
+                if ref is None:
+                    ref = r.tokens
+                assert r.tokens == ref, "spec stream diverged from greedy"
+                best = max(best, r.tokens_per_sec)
+            print(
+                f"single-stream[{name}] batch=1: {best:8.1f} tok/s "
+                f"({len(ref)} tokens)", flush=True,
+            )
+            del g
         return
 
     eng = _build(args.paged, config, params, args)
@@ -106,6 +161,9 @@ def _build(paged: bool, config, params, args):
     if paged:
         from llama2_tpu.runtime.paged_engine import PagedBatchEngine
 
+        kw = {}
+        if args.n_pages:
+            kw["n_pages"] = args.n_pages
         return PagedBatchEngine(
             config, params, batch_size=args.batch_size,
             page_size=min(args.page_size, config.seq_len),
@@ -113,6 +171,7 @@ def _build(paged: bool, config, params, args):
             pipeline_depth=args.pipeline_depth,
             backend=args.kernels,
             kv_quant=args.kv_cache == "int8",
+            **kw,
         )
     from llama2_tpu.runtime.batch_engine import BatchEngine
 
