@@ -210,3 +210,60 @@ def test_trace_paged_fused_at_7b(kv_quant):
             qkv, pool, pool, table, cos, cos, pids, rids, pos,
         )
     assert out[0].shape == (B, H, HS)
+
+
+def test_trace_layer_block_at_7b():
+    """The whole-layer megakernel traces at 7B shapes, and its VMEM budget
+    (weight double-buffers + attention ring + windows + row scratch) stays
+    far inside the 128 MB device VMEM."""
+    from llama2_tpu.ops.pallas.layer_block import (
+        _att_block_rows,
+        layer_block_stacked,
+        layer_block_supported,
+    )
+    from llama2_tpu.config import ModelConfig
+    from llama2_tpu.quant.q8 import QuantTensor
+
+    D, HD, Dq, G = 4096, 11008, (H + 2 * KVH) * HS, 64
+    cfg = ModelConfig(dim=D, hidden_dim=HD, n_layers=L, n_heads=H,
+                      n_kv_heads=KVH, vocab_size=32000, seq_len=S)
+
+    def qt(k, n):
+        return QuantTensor(
+            q=jax.ShapeDtypeStruct((L, k, n), jnp.int8),
+            scale=jax.ShapeDtypeStruct((L, k // G, n), jnp.float32),
+            group_size=G,
+        )
+
+    wo, w1, w3, w2 = qt(D, D), qt(D, HD), qt(D, HD), qt(HD, D)
+    wqkv = qt(D, Dq)
+    assert layer_block_supported(wo, w1, w3, w2, wqkv, cfg, B, S)
+    # ring block must satisfy the q8 lane rule within its VMEM budget
+    bs = _att_block_rows(S, B, 4, HS)
+    assert bs >= 128 and bs % 128 == 0 and S % bs == 0
+
+    for with_qkv in (True, False):
+        out = jax.eval_shape(
+            lambda qkv, x, k8, ks, v8, vs, c, s_, pos, wq=with_qkv: (
+                layer_block_stacked(
+                    qkv, x, k8, ks, v8, vs, c, s_, wo,
+                    jax.ShapeDtypeStruct((L, D), jnp.float32), w1, w3, w2,
+                    jax.ShapeDtypeStruct((L, D), jnp.float32), wqkv,
+                    jnp.int32(1), pos, n_heads=H, with_qkv=wq,
+                )
+            ),
+            _sds((B, H + 2 * KVH, HS)),
+            _sds((B, D)),
+            _sds((L, B, KVH, S, HS), jnp.int8),
+            _sds((L, B, KVH, S)),
+            _sds((L, B, KVH, S, HS), jnp.int8),
+            _sds((L, B, KVH, S)),
+            _sds((B, HS)),
+            _sds((B, HS)),
+            _sds((B,), jnp.int32),
+        )
+        assert out[0].shape == (B, D)
+        if with_qkv:
+            assert out[1].shape == (B, Dq)
+        assert out[2].shape == (L, B, KVH, S, HS)
+        assert out[3].shape == (L, B, KVH, S)
