@@ -28,7 +28,8 @@ a (data, model) device mesh: params tensor-shard over ``model``, slots over
 ``data``, every tick one program (parallel/sharding.py; with ``--kernels
 pallas`` the tick runs the fused kernels per-shard inside shard_map —
 parallel/tp.py). ``--collective-matmul`` swaps the row-parallel wo/w2
-psums for the explicit overlapped ring (parallel/collective_matmul.py).
+psums for the explicit overlapped ring (parallel/collective_matmul.py) —
+on the dense engine and, via the shard_map paged ticks, on ``--paged``.
 ``--precompile 16,128`` AOT-compiles the decode tick and the prefill-chunk
 programs for those prompt lengths at startup, overlapping the (remote,
 minutes-scale at 7B) compiles with the asynchronous weight upload instead
@@ -277,11 +278,8 @@ def main(argv=None):
         print("--precompile covers the dense single-device engine",
               file=sys.stderr)
         return 1
-    if collective and (mesh_spec is None or paged):
-        print(
-            "--collective-matmul requires --mesh and the dense engine",
-            file=sys.stderr,
-        )
+    if collective and mesh_spec is None:
+        print("--collective-matmul requires --mesh", file=sys.stderr)
         return 1
     if mesh_spec is not None:
         try:
