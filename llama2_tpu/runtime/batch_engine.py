@@ -590,8 +590,17 @@ class BatchEngine:
             backend=self.backend, mesh=self.fwd_mesh,
             collective=self.collective,
         )
+        # NOTE round 5: the executables are compiled for WARMTH (the remote
+        # compile service caches by content, so the first jit call after
+        # this is fast) but NOT stored for dispatch. An executable built by
+        # ``lower().compile()`` from ShapeDtypeStructs runs the whole-layer
+        # megakernel tick ~2.5x slower than the identical program through
+        # the jit path (measured 6.9 vs 2.7 ms/step at 1B scale; concrete-
+        # array lowering only halves the gap) — the AOT path misses
+        # layout/donation decisions the jit path gets right. Steady-state
+        # decode beats cold-start latency, so dispatch stays on jit.
         for st in stochastic:
-            self._aot[("tick", bool(st))] = _tick.lower(
+            _tick.lower(
                 p_s, c_s, sds(B), sds(B), sds(B),
                 sds(B, dtype=jnp.float32), sds(B, dtype=jnp.float32),
                 b_s, b_s, keys_s,
@@ -599,7 +608,7 @@ class BatchEngine:
                 unroll=self.layer_unroll, **statics,
             ).compile()
         if spec and self.spec_window:
-            self._aot[("spec",)] = _tick_spec.lower(
+            _tick_spec.lower(
                 p_s, c_s, sds(B, self.config.seq_len), sds(B), sds(B),
                 sds(B), b_s,
                 n_windows=self.ticks_per_sync, d=self.spec_window,

@@ -343,10 +343,12 @@ def test_host_prngkey_matches_jax():
 
 
 def test_precompile_streams_identical_and_aot_used(engine_and_ref, monkeypatch):
-    """precompile() builds AOT executables that the dispatch paths use in
-    place of the jit cache (cold-start overlap: compile while the weight
-    upload streams), with token-identical results. The jitted module
-    functions must NOT be re-entered once their executables exist."""
+    """precompile() warms the compile cache and stores PREFILL executables;
+    the decode tick dispatches through jit (round 5: a lower().compile()
+    tick executable ran the megakernel path ~2.5x slower than the same
+    program via jit, so only prefill — no megakernel, once per admission —
+    keeps the stored-executable fast path). Streams stay token-identical
+    and prefill must not re-enter the jit path."""
     import llama2_tpu.runtime.batch_engine as be
 
     config, params, ref = engine_and_ref
@@ -356,19 +358,9 @@ def test_precompile_streams_identical_and_aot_used(engine_and_ref, monkeypatch):
 
     eng = BatchEngine(config, params, batch_size=2, ticks_per_sync=4)
     eng.precompile(prompt_lens=[len(p) for p in prompts], stochastic=(False,))
-    assert ("tick", False) in eng._aot
+    assert ("tick", False) not in eng._aot  # warm-only, jit dispatch
     assert any(k[0] == "prefill" for k in eng._aot)
 
-    def boom(*a, **k):  # any fallback to the jit path is a test failure
-        raise AssertionError("jit path entered despite precompile")
-
-    monkeypatch.setattr(be._tick, "__call__", boom, raising=False)
-    calls = {"tick": 0, "prefill": 0}
-    real_tick, real_prefill = be._tick, be._write_prefill
-    monkeypatch.setattr(
-        be, "_tick", lambda *a, **k: (_ for _ in ()).throw(
-            AssertionError("_tick jit path entered despite precompile"))
-    )
     monkeypatch.setattr(
         be, "_write_prefill", lambda *a, **k: (_ for _ in ()).throw(
             AssertionError("_write_prefill jit path entered despite precompile"))
@@ -391,7 +383,7 @@ def test_precompile_spec_variant(engine_and_ref):
         config, params, batch_size=2, ticks_per_sync=2, spec_window=4
     )
     eng.precompile(prompt_lens=[len(p) for p in prompts], spec=True)
-    assert ("spec",) in eng._aot
+    assert ("spec",) not in eng._aot  # warm-only (see tick rationale)
     queues = [eng.submit(p, gen) for p in prompts]
     eng.run_until_idle()
     for p, want, q in zip(prompts, expected, queues):
