@@ -542,6 +542,7 @@ class BatchEngine:
             "requests": 0, "tokens": 0, "ttft": [], "queue_wait": [],
             "prefill": [], "preempted": 0,
         }
+        self._sampler_dev = None  # cached device copies of _temp/_topp/...
 
     def precompile(self, prompt_lens=(), stochastic=(False,), spec=False):
         """AOT-compile the engine's device programs from shapes only and
@@ -740,6 +741,7 @@ class BatchEngine:
     def _rebuild(self):
         """Recreate all mutable device state after a failure."""
         self.cache = self._make_cache()
+        self._sampler_dev = None
 
     def _fail_all(self, err: Exception):
         self._inflight = []  # references the device state being discarded
@@ -859,6 +861,7 @@ class BatchEngine:
         self._temp[slot] = req.gen.temperature if req.gen.temperature > 0 else 1.0
         self._topp[slot] = min(max(req.gen.top_p, 0.0), 1.0)
         self._argmax[slot] = req.gen.temperature == 0.0
+        self._sampler_dev = None  # device mirror stale after admission
         if first_admission:
             self.metrics["requests"] += 1
             self.metrics["ttft"].append(req.ttft_s)
@@ -976,17 +979,28 @@ class BatchEngine:
             budget = jnp.asarray(self._host_budget())
             chain_active = jnp.asarray(active)
         stochastic = bool(np.any(~self._argmax[active])) if active.any() else False
+        if self._sampler_dev is None:
+            # per-slot sampler state changes only at admission; uploading it
+            # fresh every sync costs several small h2d transfers per window
+            # on a high-RTT transport
+            self._sampler_dev = (
+                jnp.asarray(self._temp),
+                jnp.asarray(self._topp),
+                jnp.asarray(self._argmax),
+                jnp.asarray(self._seed_keys),
+            )
+        temp_d, topp_d, argmax_d, keys_d = self._sampler_dev
         tick_args = (
             self.params,
             self.cache,
             tokens,
             pos,
             budget,
-            jnp.asarray(self._temp),
-            jnp.asarray(self._topp),
-            jnp.asarray(self._argmax),
+            temp_d,
+            topp_d,
+            argmax_d,
             chain_active,
-            jnp.asarray(self._seed_keys),
+            keys_d,
         )
         aot = self._aot.get(("tick", stochastic))
         if aot is not None:

@@ -119,9 +119,14 @@ def test_sharded_paged_engine_q8_pools(model):
         config, params, batch_size=4, page_size=8, n_pages=32,
         kv_quant=True, mesh=mesh,
     )
-    ss = eng.pool.k.sharding.shard_shape(eng.pool.k.shape)
-    assert ss[2] == config.n_kv_heads // 4  # kv-heads sharded on model
-    assert ss[1] == eng.pool.n_pages  # page axis replicated
+    # round 5: the XLA backend now takes the shard_map paged tick too
+    # (dp_pool_supported no longer requires pallas), so the pools shard
+    # BOTH ways: pages over data with per-shard allocators, kv-heads over
+    # model — no replicated pool bytes
+    assert eng._mesh_ticks and eng._dp == 2 and eng._tp == 4
+    shard = next(iter(eng.pool.k.addressable_shards)).data
+    assert shard.shape[2] == config.n_kv_heads // 4  # kv-heads on model
+    assert shard.shape[1] == eng.pool.n_pages // 2  # pages on data
     got = _serve(eng, gen)
     assert got == want
 
