@@ -210,6 +210,11 @@ def _quant_matmul_2d(
             bytes_accessed=M * K * x.dtype.itemsize + K * N + (K // group_size) * N * 4 + M * N * x.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(
+                block_m, block_k, block_n, sg, k_steps, False, False, block_k
+            ),
+        ),
         interpret=interpret,
     )(x, q, scale)
     return out
@@ -321,6 +326,12 @@ def _quant_matmul_stacked_2d(
             + (K // group_size) * N * 4 + M * N * x.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(
+                block_m, block_k, block_n, sg, k_steps, norm, resid,
+                K if norm else block_k
+            ),
+        ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     return out
@@ -417,6 +428,25 @@ def _pick_bk(K: int, G: int, block_k: int) -> int:
         return ragged
     return K
 
+
+
+
+def _vmem_limit(bm, bk, bn, sg, k_steps, norm, resid, xk_cols):
+    """Scoped-VMEM request covering the double-buffered streams + scratch.
+
+    The default 16 MB scoped budget fits decode rows (bm <= 8) everywhere,
+    but a PREFILL chunk (bm = 128) against a wide fused projection (e.g.
+    Llama-7B wqkv, N = 12288) wants ~24 MB — first hit by serving.py's
+    warmup at 7B (compile-time "Ran out of memory in memory space vmem").
+    """
+    two_buf = 2 * (bm * xk_cols * 4 + bk * bn + sg * bn * 4 + bm * bn * 4)
+    if resid:
+        two_buf += 2 * bm * bn * 4
+    scratch = bm * bn * 4 + (bm * k_steps * bk * 4 if norm else 0)
+    # 1.2x + 4 MiB: the compiler's own accounting adds tile padding and
+    # temporaries beyond the raw buffer arithmetic (measured ~15% over at
+    # the 128 x 32000 classifier shape)
+    return int(1.2 * (two_buf + scratch) + 4 * 1024 * 1024)
 
 _FAST_TILE_BYTES = 4 * 1024 * 1024  # bn*bk int8 tile cap (x2 double-buffered)
 
