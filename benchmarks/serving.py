@@ -100,12 +100,27 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
 
     if args.compare or args.suite:
+        import gc
+
+        def teardown(eng):
+            # a 7B dense cache is 4.3 GB and the paged pool ~6.6 GB: the
+            # next engine's allocation needs the previous one's buffers
+            # actually RELEASED, not just python-unreferenced
+            eng.cache = None
+            if hasattr(eng, "pool"):
+                eng.pool = None
+            eng._chain = None
+            eng._inflight = []
+            eng._sampler_dev = None
+            gc.collect()
+
         results = {}
         device_params = params
         for kind in ("dense", "paged"):
             eng = _build(kind == "paged", config, device_params, args)
             device_params = eng.params  # upload once; paged reuses the tree
             results[kind] = _measure(eng, config, args, rng)
+            teardown(eng)
             del eng
         ratio = results["paged"]["tok_s"] / results["dense"]["tok_s"]
         print(f"paged/dense aggregate: {ratio:.3f}", flush=True)
@@ -122,6 +137,7 @@ def main() -> None:
             args.batch_size, args.requests = bsz, 2 * bsz
             eng = _build(True, config, device_params, args)
             results[f"paged@{bsz}"] = _measure(eng, config, args, rng)
+            teardown(eng)
             del eng
         args.batch_size, args.requests = base_bs, base_req
         # batch-1 single stream (the reference's headline shape,
