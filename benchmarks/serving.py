@@ -52,6 +52,9 @@ def main() -> None:
     ap.add_argument("--suite", action="store_true",
                     help="one-upload round-5 set: compare + paged batch "
                     "sweep + batch-1 single-stream plain/spec")
+    ap.add_argument("--skip-dense", action="store_true",
+                    help="suite: skip the dense leg (reuse a ratio baseline "
+                    "measured separately; frees 4.3 GB of HBM at 7B)")
     ap.add_argument("--sweep-batches", default="16,32",
                     help="paged batch sizes for --suite's sweep")
     ap.add_argument("--n-pages", type=int, default=None,
@@ -116,14 +119,17 @@ def main() -> None:
 
         results = {}
         device_params = params
-        for kind in ("dense", "paged"):
+        kinds = ("paged",) if getattr(args, "skip_dense", False) else (
+            "dense", "paged")
+        for kind in kinds:
             eng = _build(kind == "paged", config, device_params, args)
             device_params = eng.params  # upload once; paged reuses the tree
             results[kind] = _measure(eng, config, args, rng)
             teardown(eng)
             del eng
-        ratio = results["paged"]["tok_s"] / results["dense"]["tok_s"]
-        print(f"paged/dense aggregate: {ratio:.3f}", flush=True)
+        if "dense" in results:
+            ratio = results["paged"]["tok_s"] / results["dense"]["tok_s"]
+            print(f"paged/dense aggregate: {ratio:.3f}", flush=True)
         if not args.suite:
             return
         # paged batch sweep: aggregate throughput scaling past the dense
