@@ -132,6 +132,7 @@ def main() -> None:
             print(f"paged/dense aggregate: {ratio:.3f}", flush=True)
         if not args.suite:
             return
+        _streams(config, device_params, args)
         # paged batch sweep: aggregate throughput scaling past the dense
         # engine's HBM ceiling (the dense int8-KV cache OOMs at batch 16
         # on 7B/seq 2048; the page pool sizes to the measured load)
@@ -146,37 +147,44 @@ def main() -> None:
             teardown(eng)
             del eng
         args.batch_size, args.requests = base_bs, base_req
-        # batch-1 single stream (the reference's headline shape,
-        # README.md:86-88): plain on-device loop, then exact speculative
-        from llama2_tpu.runtime.generator import Generator
-
-        gen = GenerationConfig(
-            temperature=0.0, steps=args.stream_steps, seed=0
-        )
-        warm = GenerationConfig(temperature=0.0, steps=4, seed=0)
-        for name, spec_n in (("plain", 0), ("spec", 16)):
-            g = Generator(
-                config, device_params, backend=args.kernels,
-                kv_quant=args.kv_cache == "int8", speculative=spec_n,
-            )
-            g.generate([], warm)
-            best = 0.0
-            ref = None
-            for _ in range(3):
-                r = g.generate([], gen)
-                if ref is None:
-                    ref = r.tokens
-                assert r.tokens == ref, "spec stream diverged from greedy"
-                best = max(best, r.tokens_per_sec)
-            print(
-                f"single-stream[{name}] batch=1: {best:8.1f} tok/s "
-                f"({len(ref)} tokens)", flush=True,
-            )
-            del g
         return
 
     eng = _build(args.paged, config, params, args)
     _measure(eng, config, args, rng)
+
+
+def _streams(config, device_params, args):
+    """Batch-1 single-stream decode, plain + exact speculative (the
+    reference's headline shape, README.md:86-88). Runs FIRST in the suite:
+    it needs only weights + one seq cache, so it survives HBM pressure that
+    can fail the paged legs."""
+    import gc
+
+    from llama2_tpu.config import GenerationConfig
+    from llama2_tpu.runtime.generator import Generator
+
+    gen = GenerationConfig(temperature=0.0, steps=args.stream_steps, seed=0)
+    warm = GenerationConfig(temperature=0.0, steps=4, seed=0)
+    for name, spec_n in (("plain", 0), ("spec", 16)):
+        g = Generator(
+            config, device_params, backend=args.kernels,
+            kv_quant=args.kv_cache == "int8", speculative=spec_n,
+        )
+        g.generate([], warm)
+        best = 0.0
+        ref = None
+        for _ in range(3):
+            r = g.generate([], gen)
+            if ref is None:
+                ref = r.tokens
+            assert r.tokens == ref, "spec stream diverged from greedy"
+            best = max(best, r.tokens_per_sec)
+        print(
+            f"single-stream[{name}] batch=1: {best:8.1f} tok/s "
+            f"({len(ref)} tokens)", flush=True,
+        )
+        del g
+        gc.collect()
 
 
 def _build(paged: bool, config, params, args):
