@@ -31,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -119,20 +122,28 @@ def main() -> None:
 
         results = {}
         device_params = params
+        if args.suite:
+            # streams first: they need only weights + one seq cache, so
+            # they survive HBM pressure that can fail the paged legs
+            device_params = jax.tree.map(jnp.asarray, device_params)
+            _streams(config, device_params, args)
         kinds = ("paged",) if getattr(args, "skip_dense", False) else (
             "dense", "paged")
         for kind in kinds:
-            eng = _build(kind == "paged", config, device_params, args)
-            device_params = eng.params  # upload once; paged reuses the tree
-            results[kind] = _measure(eng, config, args, rng)
-            teardown(eng)
-            del eng
-        if "dense" in results:
+            try:
+                eng = _build(kind == "paged", config, device_params, args)
+                device_params = eng.params
+                results[kind] = _measure(eng, config, args, rng)
+                teardown(eng)
+                del eng
+            except Exception as e:  # keep later legs alive (HBM pressure)
+                print(f"leg[{kind}] FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+        if "dense" in results and "paged" in results:
             ratio = results["paged"]["tok_s"] / results["dense"]["tok_s"]
             print(f"paged/dense aggregate: {ratio:.3f}", flush=True)
         if not args.suite:
             return
-        _streams(config, device_params, args)
         # paged batch sweep: aggregate throughput scaling past the dense
         # engine's HBM ceiling (the dense int8-KV cache OOMs at batch 16
         # on 7B/seq 2048; the page pool sizes to the measured load)
@@ -142,10 +153,14 @@ def main() -> None:
         for bsz in [int(b) for b in args.sweep_batches.split(",") if b]:
             args = _dc.replace(args) if _dc.is_dataclass(args) else args
             args.batch_size, args.requests = bsz, 2 * bsz
-            eng = _build(True, config, device_params, args)
-            results[f"paged@{bsz}"] = _measure(eng, config, args, rng)
-            teardown(eng)
-            del eng
+            try:
+                eng = _build(True, config, device_params, args)
+                results[f"paged@{bsz}"] = _measure(eng, config, args, rng)
+                teardown(eng)
+                del eng
+            except Exception as e:
+                print(f"leg[paged@{bsz}] FAILED: {type(e).__name__}: {e}",
+                      flush=True)
         args.batch_size, args.requests = base_bs, base_req
         return
 
