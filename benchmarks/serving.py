@@ -55,6 +55,8 @@ def main() -> None:
     ap.add_argument("--suite", action="store_true",
                     help="one-upload round-5 set: compare + paged batch "
                     "sweep + batch-1 single-stream plain/spec")
+    ap.add_argument("--skip-streams", action="store_true",
+                    help="suite: skip the batch-1 stream legs")
     ap.add_argument("--skip-dense", action="store_true",
                     help="suite: skip the dense leg (reuse a ratio baseline "
                     "measured separately; frees 4.3 GB of HBM at 7B)")
@@ -122,7 +124,7 @@ def main() -> None:
 
         results = {}
         device_params = params
-        if args.suite:
+        if args.suite and not args.skip_streams:
             # streams first: they need only weights + one seq cache, so
             # they survive HBM pressure that can fail the paged legs
             device_params = jax.tree.map(jnp.asarray, device_params)
@@ -130,6 +132,12 @@ def main() -> None:
         kinds = ("paged",) if getattr(args, "skip_dense", False) else (
             "dense", "paged")
         for kind in kinds:
+            live = sum(
+                int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in jax.live_arrays()
+            )
+            print(f"[suite] live device bytes before {kind}: "
+                  f"{live/1e9:.2f} GB", flush=True)
             try:
                 eng = _build(kind == "paged", config, device_params, args)
                 device_params = eng.params
@@ -200,6 +208,10 @@ def _streams(config, device_params, args):
         )
         del g
         gc.collect()
+    # the generators' donated cache buffers can be pinned by the jit
+    # caches' most-recent-call references; drop them before the paged legs
+    jax.clear_caches()
+    gc.collect()
 
 
 def _build(paged: bool, config, params, args):
