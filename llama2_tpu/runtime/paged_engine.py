@@ -419,10 +419,11 @@ class PagedBatchEngine(BatchEngine):
                 if self._dp else PrefixCache()
             )
         self.metrics["prefix_hit_pages"] = 0
-        # one dense staging plane for prefill (a single request's worst case)
-        self._staging = self._shard_staging(
-            init_cache(config, 1, self.dtype, lane_pad=self.lane_pad)
-        )
+        # dense staging plane for prefill, sized ON DEMAND to the longest
+        # admitted prompt (power-of-two buckets, min 128): a full-seq_len
+        # fp32 plane costs 2.15 GB at 7B/S=2048 — HBM that belongs to the
+        # page pool (it forced 128-row pages in the round-5 serving bench)
+        self._staging = None
         # lazily-built shard_map programs for the dp path, keyed by statics
         self._dp_fns: dict = {}
 
@@ -483,9 +484,26 @@ class PagedBatchEngine(BatchEngine):
                 pfx.clear()
         self._tables[:] = 0
         self._slot_pages = [[] for _ in range(self.batch_size)]
-        self._staging = self._shard_staging(
-            init_cache(self.config, 1, self.dtype, lane_pad=self.lane_pad)
-        )
+        self._staging = None
+
+    def _ensure_staging(self, rows: int):
+        """Grow the prefill staging plane to cover ``rows`` positions."""
+        import dataclasses as _dc
+
+        S = self.config.seq_len
+        need = 128
+        while need < min(rows, S):
+            need *= 2
+        need = min(need, S)
+        cur = 0 if self._staging is None else self._staging["k"].shape[3]
+        if cur < need:
+            self._staging = self._shard_staging(
+                init_cache(
+                    _dc.replace(self.config, seq_len=need), 1, self.dtype,
+                    lane_pad=self.lane_pad,
+                )
+            )
+        return self._staging
 
     def _shard_staging(self, staging):
         if self.mesh is None:
@@ -610,7 +628,7 @@ class PagedBatchEngine(BatchEngine):
         # garbage rows past the prompt route to the scratch page). A cached
         # prefix is copied in first so the suffix attends to it; prefill
         # then starts at p0.
-        staging = self._staging
+        staging = self._ensure_staging(len(feed))
         if p0:
             if self._mesh_ticks:
                 fn = self._dp_prog(
